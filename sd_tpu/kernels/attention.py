@@ -1,0 +1,74 @@
+"""Attention front-end: one signature, multiple backends.
+
+The reference's only native dependency is the flash_attn CUDA wheel
+(reference: req.txt:1, openai_model/attention.py:99-117, Unet/attention.py:219).
+Here the equivalent hot path is a Pallas (Mosaic/TPU) flash-attention kernel,
+selected automatically on TPU for MXU-friendly shapes, with an XLA
+einsum-softmax fallback that is used for correctness testing, CPU execution,
+and odd shapes.
+
+Layout: q [B, Sq, H, D], k/v [B, Skv, H, D] — heads kept separate so the
+backend can tile over (batch × head). Softmax always accumulates in fp32
+regardless of input dtype (the reference's numerics contract).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+) -> jax.Array:
+    """Reference einsum-softmax attention with fp32 accumulation."""
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    probs = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def _pallas_ok(q: jax.Array, k: jax.Array) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    *_, sq, _h, d = q.shape[0], q.shape[1], q.shape[2], q.shape[3]
+    sq, skv, d = q.shape[1], k.shape[1], q.shape[3]
+    # flash kernel wants MXU-aligned tiles; small KV (e.g. 77-token CLIP
+    # context) goes through the padded cross-attention path instead.
+    return sq % 128 == 0 and d <= 256
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: float | None = None,
+    impl: str | None = None,
+) -> jax.Array:
+    """Scaled dot-product attention over [B, S, H, D] tensors.
+
+    impl: "xla" | "pallas" | None (auto). Override globally with
+    SD_TPU_ATTN_IMPL for experiments.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    impl = impl or os.environ.get("SD_TPU_ATTN_IMPL")
+    if impl == "xla":
+        return _xla_attention(q, k, v, scale)
+    if impl == "pallas" or (impl is None and _pallas_ok(q, k)):
+        from sd_tpu.kernels.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale)

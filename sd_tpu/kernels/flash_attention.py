@@ -1,0 +1,196 @@
+"""Pallas (Mosaic/TPU) flash attention.
+
+TPU-native replacement for the reference's only native kernel, the
+flash_attn==2.7.4 CUDA wheel (reference: req.txt:1,
+openai_model/attention.py:99-117,369-404; Unet/attention.py:219-264).
+
+Online-softmax tiling (Dao et al., FlashAttention-2) shaped for the TPU:
+  * grid = (batch×heads, q-tiles, kv-tiles), kv innermost so the fp32
+    accumulator, running max m and running sum l live in VMEM scratch across
+    the kv sweep;
+  * q·kᵀ and p·v hit the MXU with fp32 `preferred_element_type`;
+  * head_dim and sequence lengths are zero-padded to lane/tile multiples at
+    the JAX level (exact: zero-padded depth contributes nothing, padded kv
+    positions are masked to -inf, padded q rows are sliced away);
+  * non-causal only — diffusion self/cross attention has no causal mask.
+
+Backward pass: the op is wrapped in `jax.custom_vjp`; the VJP recomputes
+attention with the XLA einsum path (flash-style recomputation — no S×S
+tensor is ever materialized in the forward residuals).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                  scale: float, kv_len: int, block_k: int):
+    """One (bh, q-tile, kv-tile) grid step of online-softmax attention.
+
+    `kv_len` is the TRUE (unpadded) kv length; zero-padded kv positions in the
+    last tile are masked to -inf so they contribute nothing to the softmax.
+    """
+    j = pl.program_id(2)
+    n_j = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]  # [block_q, d]
+    k = k_ref[0]  # [block_k, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [block_q, block_k]
+
+    if kv_len % block_k != 0:  # static: only the last tile can be ragged
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(j * block_k + col < kv_len, s, NEG_INF)
+
+    m_prev = m_ref[:, :1]                                  # [block_q, 1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)              # [block_q, 1]
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)                                 # [block_q, block_k]
+    corr = jnp.exp(m_prev - m_new)                         # [block_q, 1]
+    l_new = corr * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] * corr + pv
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == n_j - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        # padded q rows can have l == 0; keep them finite, they are sliced off
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_attention_bhsd(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+    block_q: int, block_k: int, true_kv_len: int, interpret: bool,
+) -> jax.Array:
+    """Flash attention over [BH, S, D] tensors (already padded/aligned)."""
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+    grid = (bh, sq // block_q, pl.cdiv(skv, block_k))
+
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, kv_len=true_kv_len, block_k=block_k
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _flash_forward(
+    q: jax.Array, k: jax.Array, v: jax.Array, *,
+    scale: float, block_q: int, block_k: int, interpret: bool,
+) -> jax.Array:
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+
+    # [B, S, H, D] → [B*H, S, D]
+    def bhsd(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    qf, kf, vf = bhsd(q), bhsd(k), bhsd(v)
+
+    # pad depth to the 128-lane boundary (zero depth-padding is exact)
+    d_pad = _round_up(d, LANES)
+    if d_pad != d:
+        pad = [(0, 0), (0, 0), (0, d_pad - d)]
+        qf, kf, vf = (jnp.pad(x, pad) for x in (qf, kf, vf))
+
+    bq = min(block_q, _round_up(sq, 8))
+    bk = min(block_k, _round_up(skv, LANES))
+    sq_pad = _round_up(sq, bq)
+    skv_pad = _round_up(skv, bk)
+    if sq_pad != sq:
+        qf = jnp.pad(qf, [(0, 0), (0, sq_pad - sq), (0, 0)])
+    if skv_pad != skv:
+        kf = jnp.pad(kf, [(0, 0), (0, skv_pad - skv), (0, 0)])
+        vf = jnp.pad(vf, [(0, 0), (0, skv_pad - skv), (0, 0)])
+
+    out = _flash_attention_bhsd(qf, kf, vf, scale, bq, bk, skv, interpret)
+    out = out[:, :sq, :d]
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention_core(q, k, v, scale, block_q, block_k, interpret):
+    return _flash_forward(
+        q, k, v, scale=scale, block_q=block_q, block_k=block_k, interpret=interpret
+    )
+
+
+def _xla_ref(q, k, v, scale):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def _fwd(q, k, v, scale, block_q, block_k, interpret):
+    out = _flash_attention_core(q, k, v, scale, block_q, block_k, interpret)
+    return out, (q, k, v)
+
+
+def _bwd(scale, block_q, block_k, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _xla_ref(q, k, v, scale), q, k, v)
+    return vjp(g)
+
+
+_flash_attention_core.defvjp(_fwd, _bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: float | None = None,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention over q [B, Sq, H, D], k/v [B, Skv, H, D] (non-causal)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash_attention_core(q, k, v, float(scale), block_q, block_k, interpret)

@@ -1,0 +1,220 @@
+"""Attention blocks: codec self-attention, linear attention, and the SD
+transformer (cross-attention / GEGLU / SpatialTransformer).
+
+Capability parity with the reference's attention zoo
+(reference: Unet/attention.py:76-264 AttentionBlock/LinearAttention/make_attention,
+openai_model/attention.py:24-363 CrossAttention/BasicTransformerBlock/
+SpatialTransformer, ldm/modules/attention.py). All variants route through
+`sd_tpu.kernels.attention.dot_product_attention`, so the Pallas flash kernel
+serves every model family. NHWC layout; LayerNorm/softmax in fp32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sd_tpu.kernels.attention import dot_product_attention
+from sd_tpu.nn.layers import GroupNorm32
+
+
+class LayerNorm32(nn.Module):
+    """LayerNorm computed in fp32, cast back to input dtype."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return y.astype(x.dtype)
+
+
+class AttnBlock(nn.Module):
+    """Codec self-attention: GN → 1×1 q/k/v → single-head attention → 1×1
+    proj_out → residual (reference: Unet/attention.py:76-128)."""
+
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        h = GroupNorm32(32, epsilon=1e-6, name="norm")(x)
+        q = nn.Conv(C, (1, 1), dtype=self.dtype, name="q")(h)
+        k = nn.Conv(C, (1, 1), dtype=self.dtype, name="k")(h)
+        v = nn.Conv(C, (1, 1), dtype=self.dtype, name="v")(h)
+        # single head over H*W tokens
+        q = q.reshape(B, H * W, 1, C)
+        k = k.reshape(B, H * W, 1, C)
+        v = v.reshape(B, H * W, 1, C)
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(B, H, W, C)
+        out = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_out")(out)
+        return x + out
+
+
+class LinearAttention(nn.Module):
+    """kv-first linear attention (reference: Unet/attention.py:131-181,
+    ldm/modules/attention.py:80-96): k softmaxed over tokens, context = kᵀv,
+    out = context·q. O(N·d²) instead of O(N²·d)."""
+
+    heads: int = 4
+    dim_head: int = 32
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        inner = self.heads * self.dim_head
+        qkv = nn.Conv(inner * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, h, d]
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(x.dtype)
+        # context[b,h,d,e] = sum_n k[b,n,h,d] v[b,n,h,e]
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v, preferred_element_type=jnp.float32)
+        out = jnp.einsum(
+            "bhde,bnhd->bnhe", context.astype(x.dtype), q,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        out = out.reshape(B, H, W, inner)
+        return x + nn.Conv(C, (1, 1), dtype=self.dtype, name="to_out")(out)
+
+
+def make_attn(attn_type: str = "vanilla", dtype=None) -> nn.Module:
+    """Attention factory (reference: Unet/attention.py:198-211):
+    vanilla | linear | none."""
+    if attn_type == "vanilla":
+        return AttnBlock(dtype=dtype)
+    if attn_type == "linear":
+        return LinearAttention(dtype=dtype)
+    if attn_type == "none":
+        return _Identity()
+    raise ValueError(f"unknown attn_type {attn_type!r}")
+
+
+class _Identity(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return x
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention where kv comes from `context` (or x itself for
+    self-attention). Reference: openai_model/attention.py:24-117,
+    ldm/modules/attention.py:152-188."""
+
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,                       # [B, N, C]
+        context: jax.Array | None = None,   # [B, M, Cc]
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        B, N, C = x.shape
+        ctx = x if context is None else context
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        q = q.reshape(B, N, self.heads, self.dim_head)
+        k = k.reshape(B, ctx.shape[1], self.heads, self.dim_head)
+        v = v.reshape(B, ctx.shape[1], self.heads, self.dim_head)
+        out = dot_product_attention(q, k, v).reshape(B, N, inner)
+        out = nn.Dense(C, dtype=self.dtype, name="to_out")(out)
+        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+
+class FeedForwardGEGLU(nn.Module):
+    """GEGLU feed-forward (reference: openai_model/attention.py GEGLU/FeedForward,
+    clip_encoder/x_transformer.py:184-211)."""
+
+    mult: int = 4
+    dropout: float = 0.0
+    glu: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        C = x.shape[-1]
+        inner = C * self.mult
+        if self.glu:
+            h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+            h, gate = jnp.split(h, 2, axis=-1)
+            h = h * nn.gelu(gate)
+        else:
+            h = nn.gelu(nn.Dense(inner, dtype=self.dtype, name="proj_in")(x))
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """pre-LN self-attn → cross-attn → GEGLU FF with residuals
+    (reference: openai_model/attention.py:187-257)."""
+
+    heads: int
+    dim_head: int
+    dropout: float = 0.0
+    gated_ff: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: jax.Array | None = None,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        x = x + CrossAttention(
+            self.heads, self.dim_head, self.dropout, dtype=self.dtype, name="attn1"
+        )(LayerNorm32(name="norm1")(x), deterministic=deterministic)
+        x = x + CrossAttention(
+            self.heads, self.dim_head, self.dropout, dtype=self.dtype, name="attn2"
+        )(LayerNorm32(name="norm2")(x), context, deterministic=deterministic)
+        x = x + FeedForwardGEGLU(
+            dropout=self.dropout, glu=self.gated_ff, dtype=self.dtype, name="ff"
+        )(LayerNorm32(name="norm3")(x), deterministic=deterministic)
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GN → 1×1 proj_in → `depth` transformer blocks over H·W tokens →
+    zero-init 1×1 proj_out → residual (reference: openai_model/attention.py:303-363)."""
+
+    heads: int
+    dim_head: int
+    depth: int = 1
+    dropout: float = 0.0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,                      # [B, H, W, C]
+        context: jax.Array | None = None,  # [B, M, Cc]
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        B, H, W, C = x.shape
+        inner = self.heads * self.dim_head
+        h = GroupNorm32(32, epsilon=1e-6, name="norm")(x)
+        h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h)
+        h = h.reshape(B, H * W, inner)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(
+                self.heads, self.dim_head, self.dropout,
+                dtype=self.dtype, name=f"block_{i}",
+            )(h, context, deterministic=deterministic)
+        h = h.reshape(B, H, W, inner)
+        h = nn.Conv(
+            C, (1, 1),
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="proj_out",
+        )(h)
+        return x + h

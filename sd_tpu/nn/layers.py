@@ -1,0 +1,116 @@
+"""Shared low-level blocks: fp32-accumulated GroupNorm, timestep embeddings,
+zero-init convs.
+
+Capability parity with the reference's GroupNorm32 / timestep_embedding /
+zero_module utilities (reference: DDIM/diffusion_modules.py:151-248,
+openai_model/utils.py:7-244, Unet/unet.py:9-40), designed for NHWC layout and
+a bf16 compute policy: norms always accumulate in fp32 and cast back — the
+reference's numerics contract (SURVEY.md §5.9).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm over the channel (last) axis, computed in fp32.
+
+    Matches torch GroupNorm semantics: `num_groups` groups, per-channel affine.
+    The codec stack uses eps=1e-6 (reference: Unet/unet.py:9-12), the SD UNet
+    eps=1e-5 (torch default via openai_model/utils.py:15-22).
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        y = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return y.astype(orig_dtype)
+
+
+def timestep_embedding(
+    timesteps: jax.Array,
+    dim: int,
+    max_period: float = 10000.0,
+    flip_sin_to_cos: bool = True,
+) -> jax.Array:
+    """Sinusoidal timestep embeddings [N, dim], computed in fp32.
+
+    `flip_sin_to_cos=True` gives the guided-diffusion layout cat([cos, sin])
+    (reference: DDIM/diffusion_modules.py:151-171); False gives cat([sin, cos])
+    (reference: Unet/unet.py get_timestep_embedding).
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    else:
+        emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def zeros_init_conv(
+    features: int,
+    kernel_size: tuple[int, ...] = (3, 3),
+    padding: str | int = 1,
+    dtype=None,
+    name: str | None = None,
+) -> nn.Conv:
+    """Conv whose kernel AND bias start at zero (the reference's zero_module
+    pattern for output projections, DDIM/diffusion_modules.py:174-179)."""
+    pad = padding if isinstance(padding, str) else [(padding, padding)] * len(kernel_size)
+    return nn.Conv(
+        features,
+        kernel_size,
+        padding=pad,
+        kernel_init=nn.initializers.zeros,
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        name=name,
+    )
+
+
+def mean_flat(x: jax.Array) -> jax.Array:
+    """Mean over all non-batch dims (reference: DDIM/diffusion_modules.py:190-196)."""
+    return jnp.mean(x, axis=tuple(range(1, x.ndim)))
+
+
+def torch_conv_init(scale: float = 1.0) -> tuple[Callable, Callable]:
+    """(kernel_init, bias_init) reproducing torch's default Conv/Linear init
+    (kaiming-uniform a=sqrt(5) → U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both
+    kernel and bias). Keeps init-variance parity with the reference stack."""
+
+    def kernel_init(key, shape, dtype=jnp.float32):
+        # HWIO layout: fan_in = prod(spatial) * in_features
+        fan_in = 1
+        for s in shape[:-1]:
+            fan_in *= s
+        bound = scale / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    def bias_init_factory(fan_in):
+        def bias_init(key, shape, dtype=jnp.float32):
+            bound = scale / math.sqrt(fan_in)
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        return bias_init
+
+    return kernel_init, bias_init_factory
