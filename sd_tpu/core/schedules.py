@@ -193,9 +193,10 @@ class DiffusionSchedule:
         )
 
         if parameterization == "eps":
-            lvlb_weights = betas**2 / (
-                2 * posterior_variance * alphas * (1 - alphas_cumprod)
-            )
+            with np.errstate(divide="ignore"):
+                lvlb_weights = betas**2 / (
+                    2 * posterior_variance * alphas * (1 - alphas_cumprod)
+                )
             # t=0 term is singular; the reference copies lvlb_weights[1].
             lvlb_weights[0] = lvlb_weights[1]
         elif parameterization == "x0":

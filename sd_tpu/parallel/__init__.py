@@ -1,0 +1,8 @@
+from sd_tpu.parallel.mesh import (
+    make_mesh,
+    replicated,
+    shard_batch,
+    infer_param_sharding,
+    TP_RULES_UNET,
+    make_parallel_train_step,
+)

@@ -1,0 +1,177 @@
+"""Device mesh + sharding: the scaling layer the reference never had.
+
+The reference is single-GPU by construction (SURVEY.md §2.14, §5.8 —
+`pl.Trainer(devices=1)`, no torch.distributed anywhere); this module is the
+TPU-native design surface replacing that gap: a `jax.sharding.Mesh` over ICI,
+NamedSharding annotations, and jit with in/out shardings so XLA inserts the
+collectives (psum for DP grad sync, all_gather/reduce_scatter for TP)
+— never hand-written NCCL-style calls.
+
+Axes convention:
+  * "data"  — batch axis; gradients all-reduce over it (DP).
+  * "model" — tensor-parallel axis for attention/MLP kernels (TP), optional.
+
+Typical single-slice v5e-8: Mesh {"data": 8} (models fit on one chip) or
+{"data": 4, "model": 2} for TP experiments. Multi-host: call
+`jax.distributed.initialize()` first; the same code paths apply with the
+"data" axis laid out over DCN-connected slices.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+PyTree = Any
+
+
+def make_mesh(
+    axes: dict[str, int] | None = None, devices: Sequence | None = None
+) -> Mesh:
+    """Build a Mesh. Default: all devices on one "data" axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if axes is None:
+        axes = {"data": len(devices)}
+    names = tuple(axes)
+    shape = tuple(axes.values())
+    assert int(np.prod(shape)) == len(devices), (
+        f"mesh {axes} wants {np.prod(shape)} devices, have {len(devices)}"
+    )
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, names)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: PyTree, axis: str = "data") -> PyTree:
+    """Device-put a host batch sharded on the leading (batch) dimension."""
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1))) if x.ndim > 0 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, batch)
+
+
+# ---------------------------------------------------------------------------
+# parameter sharding rules
+# ---------------------------------------------------------------------------
+
+# Tensor-parallel rules for the SD UNet / transformer blocks: qkv and FF-in
+# kernels split on the output dim (column parallel), out-proj and FF-out on
+# the input dim (row parallel) — the Megatron layout over the "model" axis.
+# Biases of column-parallel layers shard with the outputs.
+TP_RULES_UNET: list[tuple[str, P]] = [
+    (r".*(to_q|to_k|to_v|q_proj|k_proj|v_proj)/kernel$", P(None, "model")),
+    (r".*(to_q|to_k|to_v|q_proj|k_proj|v_proj)/bias$", P("model")),
+    (r".*qkv/kernel$", P(None, None, None, "model")),
+    (r".*(to_out|out_proj|proj_out)/kernel$", P("model", None)),
+    (r".*ff/proj_in/kernel$", P(None, "model")),
+    (r".*ff/proj_in/bias$", P("model")),
+    (r".*ff/proj_out/kernel$", P("model", None)),
+    (r".*(fc1)/kernel$", P(None, "model")),
+    (r".*(fc1)/bias$", P("model")),
+    (r".*(fc2)/kernel$", P("model", None)),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def infer_param_sharding(
+    params: PyTree,
+    mesh: Mesh,
+    rules: list[tuple[str, P]] | None = None,
+) -> PyTree:
+    """Map each param leaf to a NamedSharding: first regex rule that matches
+    its path wins; unmatched leaves replicate. A rule whose PartitionSpec
+    doesn't divide the leaf shape falls back to replication."""
+    rules = rules or []
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def assign(path, leaf):
+        name = _path_str(path)
+        for pattern, spec in rules:
+            if re.match(pattern, name):
+                if _spec_fits(spec, leaf.shape, axis_sizes):
+                    return NamedSharding(mesh, spec)
+                break
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def _spec_fits(spec: P, shape: tuple, axis_sizes: dict) -> bool:
+    if len(spec) > len(shape):
+        return False
+    for dim, names in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
+        if names is None:
+            continue
+        names = names if isinstance(names, tuple) else (names,)
+        total = int(np.prod([axis_sizes[n] for n in names]))
+        if dim % total != 0:
+            return False
+    return True
+
+
+def make_parallel_train_step(
+    train_step: Callable,
+    mesh: Mesh,
+    state_sharding: PyTree,
+    data_axis: str = "data",
+):
+    """jit a (state, batch, rng) -> (state, logs) step with explicit
+    shardings: state as given, batch sharded on `data_axis`, rng replicated,
+    logs replicated. XLA inserts the psum for gradient sync."""
+    batch_sharding = None  # infer from args at call time via shard_batch
+
+    def batch_spec(x):
+        return NamedSharding(
+            mesh, P(data_axis, *([None] * (max(x.ndim, 1) - 1)))
+        )
+
+    def jitted_for(batch):
+        in_shardings = (
+            state_sharding,
+            jax.tree.map(batch_spec, batch),
+            replicated(mesh),
+        )
+        out_shardings = (state_sharding, replicated(mesh))
+        return jax.jit(
+            train_step, in_shardings=in_shardings, out_shardings=out_shardings
+        )
+
+    cache = {}
+
+    def step(state, batch, rng):
+        key = tuple(
+            (tuple(x.shape), str(x.dtype)) for x in jax.tree.leaves(batch)
+        )
+        if key not in cache:
+            cache[key] = jitted_for(batch)
+        return cache[key](state, batch, rng)
+
+    return step
+
+
+def put_replicated(tree: PyTree, mesh: Mesh) -> PyTree:
+    """Device-put a pytree fully replicated over the mesh."""
+    return jax.device_put(tree, replicated(mesh))
+
+
+def put_sharded_params(params: PyTree, shardings: PyTree) -> PyTree:
+    return jax.tree.map(jax.device_put, params, shardings)

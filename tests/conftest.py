@@ -14,6 +14,9 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
+# the axon sitecustomize force-registers the tunneled TPU platform; the env
+# var alone does not win — the config update does.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402

@@ -1,0 +1,154 @@
+"""Conditioner tests: CLIP text tower, tokenizers, class/transformer/BERT
+embedders, spatial rescaler, CLIP image tower, x-transformer extras.
+Reference semantics: SURVEY.md §2.10 (clip_encoder/)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sd_tpu.models.clip_text import (
+    ClipTextConfig,
+    ClipTextTransformer,
+    FrozenClipTextEmbedder,
+    SimpleHashTokenizer,
+)
+from sd_tpu.models.conditioners import (
+    BERTEmbedder,
+    BERTTokenizerHost,
+    ClassEmbedder,
+    FrozenClipImageEmbedder,
+    SpatialRescaler,
+    TransformerEmbedder,
+)
+from sd_tpu.models.x_transformer import AttentionLayers, TransformerWrapper, XAttention
+
+
+def small_clip_cfg():
+    return ClipTextConfig(vocab_size=100, hidden_size=32, num_layers=2,
+                          num_heads=4, max_length=16)
+
+
+def test_clip_text_shapes(rng):
+    cfg = small_clip_cfg()
+    m = ClipTextTransformer(cfg)
+    ids = jnp.zeros((2, 16), jnp.int32)
+    params = m.init(rng, ids)
+    out = m.apply(params, ids)
+    assert out.shape == (2, 16, 32)
+
+
+def test_clip_text_causal(rng):
+    """Changing a later token must not affect earlier positions (causal mask)."""
+    cfg = small_clip_cfg()
+    m = ClipTextTransformer(cfg)
+    ids1 = jnp.array([[1, 2, 3, 4, 5, 6, 7, 8] + [0] * 8])
+    ids2 = ids1.at[0, 7].set(99)
+    params = m.init(rng, ids1)
+    o1 = m.apply(params, ids1)
+    o2 = m.apply(params, ids2)
+    np.testing.assert_allclose(np.asarray(o1[0, :7]), np.asarray(o2[0, :7]),
+                               atol=1e-5)
+    assert float(jnp.max(jnp.abs(o1[0, 7] - o2[0, 7]))) > 1e-3
+
+
+def test_hash_tokenizer_framing():
+    tok = SimpleHashTokenizer(max_length=8)
+    ids = tok(["a cat", ""])
+    assert ids.shape == (2, 8)
+    assert ids[0, 0] == tok.bos_token_id
+    assert tok.eos_token_id in ids[0]
+    # deterministic
+    np.testing.assert_array_equal(ids, tok(["a cat", ""]))
+
+
+def test_frozen_clip_embedder_end_to_end():
+    emb = FrozenClipTextEmbedder(cfg=small_clip_cfg())
+    out = emb(["a photograph of an astronaut", "cat"])
+    assert out.shape == (2, 16, 32)
+
+
+def test_class_embedder(rng):
+    m = ClassEmbedder(embed_dim=8, n_classes=10)
+    batch = {"class_label": jnp.array([1, 2, 3])}
+    params = m.init(rng, batch)
+    out = m.apply(params, batch)
+    assert out.shape == (3, 8)
+
+
+def test_transformer_embedder(rng):
+    m = TransformerEmbedder(n_embed=16, n_layer=2, vocab_size=50, max_seq_len=12)
+    tokens = jnp.zeros((2, 12), jnp.int32)
+    params = m.init(rng, tokens)
+    assert m.apply(params, tokens).shape == (2, 12, 16)
+
+
+def test_bert_tokenizer_vq_interface():
+    tok = BERTTokenizerHost(max_length=10)
+    _, _, (_, _, tokens) = tok(["hello world"])
+    assert tokens.shape == (1, 10)
+    tok2 = BERTTokenizerHost(max_length=10, vq_interface=False)
+    assert tok2(["hello world"]).shape == (1, 10)
+
+
+def test_bert_embedder(rng):
+    m = BERTEmbedder(n_embed=16, n_layer=2, vocab_size=100, max_seq_len=10)
+    tokens = jnp.zeros((1, 10), jnp.int32)
+    params = m.init(rng, tokens)
+    assert m.apply(params, tokens).shape == (1, 10, 16)
+
+
+def test_spatial_rescaler(rng):
+    m = SpatialRescaler(n_stages=2, multiplier=0.5, out_channels=7)
+    x = jnp.ones((1, 16, 16, 3))
+    params = m.init(rng, x)
+    assert m.apply(params, x).shape == (1, 4, 4, 7)
+
+
+def test_clip_image_embedder(rng):
+    m = FrozenClipImageEmbedder()
+    x = jnp.zeros((1, 32, 32, 3))
+    params = m.init(rng, x)
+    out = m.apply(params, x)
+    assert out.shape == (1, 512)
+
+
+def test_x_attention_extras(rng):
+    m = XAttention(heads=2, dim_head=8, talking_heads=True, sparse_topk=4,
+                   num_mem_kv=2)
+    x = jax.random.normal(rng, (2, 6, 16))
+    params = m.init(rng, x)
+    assert m.apply(params, x).shape == (2, 6, 16)
+    # with a mask
+    mask = jnp.array([[True] * 6, [True] * 3 + [False] * 3])
+    out = m.apply(params, x, None, mask)
+    assert out.shape == (2, 6, 16)
+
+
+def test_attention_layers_variants(rng):
+    x = jax.random.normal(rng, (1, 5, 16))
+    for kw in (dict(use_scalenorm=True), dict(use_rmsnorm=True),
+               dict(use_rezero=True), dict(gate_residual=True),
+               dict(macaron=True), dict(sandwich_coef=1)):
+        m = AttentionLayers(dim=16, depth=2, heads=2, dim_head=8, **kw)
+        params = m.init(rng, x)
+        out = m.apply(params, x)
+        assert out.shape == x.shape, kw
+
+
+def test_attention_layers_cross_attend(rng):
+    m = AttentionLayers(dim=16, depth=1, heads=2, dim_head=8, cross_attend=True)
+    x = jax.random.normal(rng, (1, 5, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 16))
+    params = m.init(rng, x, ctx)
+    assert m.apply(params, x, ctx).shape == x.shape
+
+
+def test_transformer_wrapper_memory_tokens(rng):
+    m = TransformerWrapper(num_tokens=50, max_seq_len=8, dim=16, depth=1,
+                           heads=2, num_memory_tokens=3)
+    tokens = jnp.zeros((2, 8), jnp.int32)
+    params = m.init(rng, tokens)
+    out = m.apply(params, tokens)
+    assert out.shape == (2, 8, 16)  # memory tokens stripped
+    logits = m.apply(params, tokens, return_logits=True)
+    assert logits.shape == (2, 8, 50)

@@ -1,0 +1,184 @@
+"""LatentDiffusion tests: conditioning dispatch, frozen stages, training loss,
+sampling glue, scale-factor calibration, patched (fold/unfold) apply.
+Reference semantics: SURVEY.md §2.12, §5.7 (ldm/diffusion/ddpm.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sd_tpu.core.schedules import DiffusionSchedule
+from sd_tpu.diffusion.ddpm import DDPMProcess
+from sd_tpu.diffusion.latent import (
+    LatentDiffusion,
+    apply_conditioned,
+    calibrate_scale_factor,
+    extract_patches,
+    fold_patches,
+    patched_apply,
+    _tie_breaker_weights,
+)
+
+
+def make_ld(conditioning_key="crossattn", **kw):
+    sched = DiffusionSchedule.create(timesteps=20)
+    process = DDPMProcess(sched)
+
+    def unet_apply(params, x, t, context, y=None):
+        # linear toy epsilon-model; context shifts the output
+        out = params["w"] * x
+        if context is not None:
+            out = out + jnp.mean(context)
+        if y is not None:
+            out = out + y.astype(jnp.float32).reshape(-1, 1, 1, 1)
+        return out
+
+    base = dict(
+        process=process,
+        unet_apply=unet_apply,
+        encode_fn=lambda x, rng: x[:, ::2, ::2],   # fake 2x encoder
+        decode_fn=lambda z: jnp.repeat(jnp.repeat(z, 2, 1), 2, 2),
+        cond_fn=lambda raw: raw * 2.0,
+        conditioning_key=conditioning_key,
+        scale_factor=0.5,
+    )
+    base.update(kw)
+    return LatentDiffusion(**base)
+
+
+PARAMS = {"w": jnp.asarray(0.1)}
+
+
+def test_apply_conditioned_modes():
+    unet_calls = {}
+
+    def unet_apply(params, x, t, context, y=None):
+        unet_calls["x_ch"] = x.shape[-1]
+        unet_calls["ctx"] = None if context is None else context.shape
+        unet_calls["y"] = y
+        return x
+
+    x = jnp.ones((1, 4, 4, 2))
+    t = jnp.array([0])
+    apply_conditioned(unet_apply, {}, x, t, None, None)
+    assert unet_calls["x_ch"] == 2 and unet_calls["ctx"] is None
+
+    cond = {"c_concat": [jnp.ones((1, 4, 4, 3))]}
+    apply_conditioned(unet_apply, {}, x, t, cond, "concat")
+    assert unet_calls["x_ch"] == 5
+
+    cond = {"c_crossattn": [jnp.ones((1, 7, 8)), jnp.ones((1, 2, 8))]}
+    apply_conditioned(unet_apply, {}, x, t, cond, "crossattn")
+    assert unet_calls["ctx"] == (1, 9, 8)
+
+    cond = {"c_concat": [jnp.ones((1, 4, 4, 1))],
+            "c_crossattn": [jnp.ones((1, 7, 8))]}
+    apply_conditioned(unet_apply, {}, x, t, cond, "hybrid")
+    assert unet_calls["x_ch"] == 3 and unet_calls["ctx"] == (1, 7, 8)
+
+    cond = {"c_adm": jnp.array([3])}
+    apply_conditioned(unet_apply, {}, x, t, cond, "adm")
+    assert unet_calls["y"] is not None
+
+    with pytest.raises(ValueError):
+        apply_conditioned(unet_apply, {}, x, t, cond, "bogus")
+
+
+def test_get_input_and_scale(rng):
+    ld = make_ld()
+    batch = {"image": jnp.ones((2, 8, 8, 3)),
+             "txt_emb": jnp.ones((2, 7, 16))}
+    z, cond = ld.get_input(batch, rng)
+    assert z.shape == (2, 4, 4, 3)
+    np.testing.assert_allclose(np.asarray(z), 0.5, atol=1e-6)  # scale_factor
+    assert set(cond) == {"c_crossattn"}
+
+
+def test_first_stage_frozen(rng):
+    """encode/decode must carry no gradients back (stop_gradient)."""
+    ld = make_ld()
+
+    def loss(x):
+        z = ld.get_first_stage_encoding(ld.encode_first_stage(x, rng))
+        return jnp.sum(z)
+
+    g = jax.grad(loss)(jnp.ones((1, 4, 4, 3)))
+    np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+def test_training_loss_runs(rng):
+    ld = make_ld()
+    batch = {"image": jnp.ones((2, 8, 8, 3)),
+             "txt_emb": jnp.zeros((2, 7, 16))}
+    loss, logs = ld.training_loss(PARAMS, batch, rng)
+    assert np.isfinite(float(loss))
+    assert "loss_simple" in logs and "loss_vlb" in logs
+
+    # learned logvar path
+    lv = jnp.zeros((20,))
+    loss2, logs2 = ld.training_loss(PARAMS, batch, rng, learned_logvar=lv)
+    assert "loss_gamma" in logs2
+
+
+def test_training_loss_grad_wrt_params(rng):
+    ld = make_ld()
+    batch = {"image": jnp.ones((2, 8, 8, 3)),
+             "txt_emb": jnp.zeros((2, 7, 16))}
+    g = jax.grad(lambda p: ld.training_loss(p, batch, rng)[0])(PARAMS)
+    assert np.isfinite(float(g["w"])) and float(jnp.abs(g["w"])) > 0
+
+
+def test_sample_decodes(rng):
+    ld = make_ld()
+    cond = {"c_crossattn": [jnp.zeros((2, 7, 16))]}
+    img = ld.sample(PARAMS, rng, (2, 4, 4, 3), cond=cond, num_steps=5)
+    assert img.shape == (2, 8, 8, 3)  # decoded back to pixel space
+    z = ld.sample(PARAMS, rng, (2, 4, 4, 3), cond=cond, num_steps=5, decode=False)
+    assert z.shape == (2, 4, 4, 3)
+
+
+def test_sample_cfg_and_ancestral(rng):
+    ld = make_ld()
+    cond = {"c_crossattn": [jnp.ones((1, 7, 16))]}
+    uncond = {"c_crossattn": [jnp.zeros((1, 7, 16))]}
+    img = ld.sample(PARAMS, rng, (1, 4, 4, 3), cond=cond, uncond=uncond,
+                    guidance_scale=3.0, num_steps=4)
+    assert img.shape == (1, 8, 8, 3)
+    img2 = ld.sample(PARAMS, rng, (1, 4, 4, 3), cond=cond, use_ddim=False)
+    assert img2.shape == (1, 8, 8, 3)
+
+
+def test_calibrate_scale_factor(rng):
+    z = jax.random.normal(rng, (4, 8, 8, 4)) * 2.0
+    s = calibrate_scale_factor(z)
+    np.testing.assert_allclose(s, 0.5, rtol=0.1)
+
+
+def test_extract_fold_roundtrip():
+    """Non-overlapping patches fold back exactly (weights cancel)."""
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    p = extract_patches(x, ks=4, stride=4)
+    assert p.shape == (2, 2, 2, 4, 4, 3)
+    w = _tie_breaker_weights(4)
+    back = fold_patches(p, (8, 8), 4, w)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), rtol=1e-5)
+
+
+def test_extract_fold_overlapping():
+    """Overlapping identity fold reproduces the input (normalization)."""
+    x = jnp.ones((1, 8, 8, 2))
+    p = extract_patches(x, ks=4, stride=2)
+    back = fold_patches(p, (8, 8), 2, _tie_breaker_weights(4))
+    np.testing.assert_allclose(np.asarray(back), 1.0, rtol=1e-5)
+
+
+def test_patched_apply_identity_and_scale():
+    x = jnp.arange(1 * 8 * 8 * 2, dtype=jnp.float32).reshape(1, 8, 8, 2)
+    out = patched_apply(lambda p: p, x, ks=4, stride=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-5)
+
+    # a 2x-upsampling fn (e.g. a decoder): output doubles spatially
+    up = lambda p: jnp.repeat(jnp.repeat(p, 2, 1), 2, 2)
+    out2 = patched_apply(up, x, ks=4, stride=4, scale=2)
+    assert out2.shape == (1, 16, 16, 2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(up(x)), rtol=1e-5)

@@ -1,0 +1,117 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh (SURVEY.md §4:
+the standard fake cluster for TPU code)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from sd_tpu.parallel.mesh import (
+    TP_RULES_UNET,
+    infer_param_sharding,
+    make_mesh,
+    make_parallel_train_step,
+    put_sharded_params,
+    replicated,
+    shard_batch,
+)
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.axis_names == ("data",)
+    assert mesh.devices.shape == (8,)
+
+    mesh2 = make_mesh({"data": 4, "model": 2})
+    assert mesh2.devices.shape == (4, 2)
+
+    with pytest.raises(AssertionError):
+        make_mesh({"data": 3})
+
+
+def test_shard_batch_layout(rng):
+    mesh = make_mesh()
+    batch = {"image": jnp.zeros((16, 4, 4, 3)), "label": jnp.zeros((16,))}
+    sharded = shard_batch(mesh, batch)
+    # each device holds 16/8 = 2 examples
+    shard_shapes = [s.data.shape for s in sharded["image"].addressable_shards]
+    assert all(s == (2, 4, 4, 3) for s in shard_shapes)
+
+
+def test_infer_param_sharding_rules():
+    mesh = make_mesh({"data": 4, "model": 2})
+    params = {
+        "block": {"attn1": {"to_q": {"kernel": jnp.zeros((64, 64))},
+                            "to_out": {"kernel": jnp.zeros((64, 64))}}},
+        "conv": {"kernel": jnp.zeros((3, 3, 8, 8))},
+        "odd": {"to_q": {"kernel": jnp.zeros((7, 7))}},  # indivisible
+    }
+    sh = infer_param_sharding(params, mesh, TP_RULES_UNET)
+    assert sh["block"]["attn1"]["to_q"]["kernel"].spec == P(None, "model")
+    assert sh["block"]["attn1"]["to_out"]["kernel"].spec == P("model", None)
+    assert sh["conv"]["kernel"].spec == P()          # unmatched -> replicated
+    assert sh["odd"]["to_q"]["kernel"].spec == P()   # indivisible -> replicated
+
+
+def test_dp_train_step_matches_single_device(rng):
+    """Data-parallel jitted step over the mesh == single-device result."""
+    mesh = make_mesh()
+
+    def train_step(state, batch, rng):
+        def loss_fn(w):
+            pred = batch["x"] @ w
+            return jnp.mean((pred - batch["y"]) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(state["w"])
+        return {"w": state["w"] - 0.1 * g}, {"loss": loss}
+
+    w0 = jax.random.normal(rng, (4, 2))
+    batch = {
+        "x": jax.random.normal(jax.random.PRNGKey(1), (16, 4)),
+        "y": jax.random.normal(jax.random.PRNGKey(2), (16, 2)),
+    }
+
+    # single device
+    ref_state, ref_logs = train_step({"w": w0}, batch, rng)
+
+    # parallel
+    state_sharding = {"w": replicated(mesh)}
+    pstep = make_parallel_train_step(train_step, mesh, state_sharding)
+    state = jax.device_put({"w": w0}, state_sharding)
+    sbatch = shard_batch(mesh, batch)
+    new_state, logs = pstep(state, sbatch, rng)
+
+    np.testing.assert_allclose(np.asarray(new_state["w"]),
+                               np.asarray(ref_state["w"]), atol=1e-5)
+    np.testing.assert_allclose(float(logs["loss"]), float(ref_logs["loss"]),
+                               rtol=1e-5)
+
+
+def test_tp_sharded_matmul_correctness(rng):
+    """A column-parallel matmul under jit+sharding equals the dense result."""
+    mesh = make_mesh({"data": 2, "model": 4})
+    w = jax.random.normal(rng, (16, 32))
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, 16))
+
+    from jax.sharding import NamedSharding
+
+    w_sh = jax.device_put(w, NamedSharding(mesh, P(None, "model")))
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+
+    f = jax.jit(lambda x, w: jax.nn.relu(x @ w))
+    out = f(x_sh, w_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(jax.nn.relu(x @ w)),
+                               atol=1e-5)
+
+
+def test_put_sharded_params(rng):
+    mesh = make_mesh({"data": 4, "model": 2})
+    params = {"to_q": {"kernel": jax.random.normal(rng, (8, 8))}}
+    sh = infer_param_sharding(params, mesh, TP_RULES_UNET)
+    placed = put_sharded_params(params, sh)
+    assert placed["to_q"]["kernel"].sharding.spec == P(None, "model")
