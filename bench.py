@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Flagship benchmark: 512×512 text-to-image, 50-step DDIM with CFG, on one
+TPU chip. Prints ONE JSON line:
+  {"metric": "t2i_512_ddim50_images_per_sec_per_chip", "value": N,
+   "unit": "images/sec/chip", "vs_baseline": N}
+
+The full pipeline is timed end-to-end on device: CLIP ViT-L/14 text encode
+(77 tokens) → 50-step lax.scan DDIM with batched-2× CFG through the SD-v1
+UNet (320ch, latent 64×64×4, flash attention) → KL-f8 VAE decode to 512×512.
+Host tokenization is excluded (input-pipeline work, overlapped in production).
+
+Baseline: the reference publishes no numbers (BASELINE.md); vs_baseline is
+measured against the driver-set north star of 10 images/sec/chip.
+
+Env knobs:
+  SD_TPU_BENCH_BATCH   batch size per chip (default 4)
+  SD_TPU_BENCH_SMOKE=1 tiny model on CPU (script self-test)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+NORTH_STAR = 10.0  # images/sec/chip, driver-set (BASELINE.json)
+
+
+def build(smoke: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from sd_tpu.core.schedules import DDIMSchedule, DiffusionSchedule
+    from sd_tpu.diffusion.ddim import DDIMSampler
+    from sd_tpu.models.autoencoder import AutoencoderKL
+    from sd_tpu.models.clip_text import ClipTextConfig, ClipTextTransformer
+    from sd_tpu.models.unet_sd import UNetModel
+
+    if smoke:
+        unet = UNetModel(in_channels=4, model_channels=32, out_channels=4,
+                         num_res_blocks=1, attention_resolutions=(2,),
+                         channel_mult=(1, 2), num_heads=4, context_dim=32,
+                         dtype=jnp.bfloat16)
+        vae = AutoencoderKL(embed_dim=4, ch=16, ch_mult=(1, 2),
+                            num_res_blocks=1, resolution=32, z_channels=4,
+                            dtype=jnp.bfloat16)
+        clip_cfg = ClipTextConfig(vocab_size=1000, hidden_size=32,
+                                  num_layers=2, num_heads=4, max_length=16)
+        lat, pix = 16, 32
+    else:
+        unet = UNetModel(in_channels=4, model_channels=320, out_channels=4,
+                         num_res_blocks=2, attention_resolutions=(4, 2, 1),
+                         channel_mult=(1, 2, 4, 4), num_heads=8,
+                         context_dim=768, dtype=jnp.bfloat16)
+        vae = AutoencoderKL(embed_dim=4, ch=128, ch_mult=(1, 2, 4, 4),
+                            num_res_blocks=2, resolution=512, z_channels=4,
+                            dtype=jnp.bfloat16)
+        clip_cfg = ClipTextConfig()
+        lat, pix = 64, 512
+    clip = ClipTextTransformer(clip_cfg, dtype=jnp.bfloat16)
+
+    rng = jax.random.PRNGKey(0)
+    cparams = clip.init(rng, jnp.zeros((1, clip_cfg.max_length), jnp.int32))["params"]
+    uparams = unet.init(
+        rng, jnp.zeros((1, lat, lat, 4), jnp.bfloat16), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, clip_cfg.max_length, clip_cfg.hidden_size), jnp.bfloat16),
+    )["params"]
+    # decoder-only params are what the pipeline needs; init VAE on the latent
+    vparams = vae.init(rng, jnp.zeros((1, pix, pix, 3), jnp.bfloat16), rng)["params"]
+
+    bf16 = lambda tree: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+    cparams, uparams, vparams = bf16(cparams), bf16(uparams), bf16(vparams)
+
+    sched = DiffusionSchedule.create(
+        timesteps=1000, beta_schedule="linear",
+        linear_start=0.00085, linear_end=0.012,
+    )
+    sampler = DDIMSampler(sched)
+    dd = DDIMSchedule.create(sched, 50)
+
+    def pipeline(cparams, uparams, vparams, ids, neg_ids, rng):
+        c = clip.apply({"params": cparams}, ids).astype(jnp.bfloat16)
+        uc = clip.apply({"params": cparams}, neg_ids).astype(jnp.bfloat16)
+        model_fn = lambda x, t, ctx: unet.apply(
+            {"params": uparams}, x.astype(jnp.bfloat16), t, ctx)
+        b = ids.shape[0]
+        z = sampler.sample(
+            model_fn, rng, (b, lat, lat, 4), cond=c, uncond=uc,
+            guidance_scale=7.5, dd=dd,
+        )
+        return vae.apply({"params": vparams}, (z / 0.18215).astype(jnp.bfloat16),
+                         method=AutoencoderKL.decode)
+
+    return pipeline, (cparams, uparams, vparams), clip_cfg, lat
+
+
+def main():
+    smoke = os.environ.get("SD_TPU_BENCH_SMOKE") == "1"
+    batch = int(os.environ.get("SD_TPU_BENCH_BATCH", "4"))
+
+    import jax
+
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sd_tpu.models.clip_text import SimpleHashTokenizer
+
+    pipeline, params, clip_cfg, lat = build(smoke)
+    tok = SimpleHashTokenizer(clip_cfg.max_length, clip_cfg.vocab_size)
+    ids = jnp.asarray(tok(["a photograph of an astronaut riding a horse"] * batch))
+    neg = jnp.asarray(tok([""] * batch))
+    rng = jax.random.PRNGKey(0)
+
+    jitted = jax.jit(pipeline)
+    # warmup/compile
+    out = jitted(*params, ids, neg, rng)
+    jax.block_until_ready(out)
+
+    runs = 2 if smoke else 3
+    times = []
+    for i in range(runs):
+        t0 = time.perf_counter()
+        out = jitted(*params, ids, neg, jax.random.PRNGKey(i + 1))
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    dt = float(np.median(times))
+    ips = batch / dt
+    result = {
+        "metric": "t2i_512_ddim50_images_per_sec_per_chip",
+        "value": round(ips, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / NORTH_STAR, 4),
+    }
+    if smoke:
+        result["smoke"] = True
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Text-to-image sampling CLI: prompt → CLIP → DDIM(CFG) → VAE decode → PNG.
+
+Usage:
+  python scripts/sample.py --config configs/sd_txt2img.yaml \
+      --prompt "a photograph of an astronaut riding a horse" \
+      --ckpt runs/ldm/ckpt --out samples.png
+
+Covers the reference's sampling surface (reference:
+ldm/diffusion/ddpm.py:1742-1826 sample/sample_log + DDIM handoff,
+DDIM/ddim.py:56-111) as a standalone pipeline.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--prompt", required=True, nargs="+")
+    ap.add_argument("--negative-prompt", default="")
+    ap.add_argument("--ckpt", default=None, help="checkpoint dir (else random init)")
+    ap.add_argument("--out", default="samples.png")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--guidance-scale", type=float, default=None)
+    ap.add_argument("--eta", type=float, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sd_tpu.core.config import load_yaml
+    from sd_tpu.train.checkpoint import restore_checkpoint
+    from sd_tpu.train.metrics import save_image_grid
+    from sd_tpu.train.runners import build_ldm
+
+    cfg = load_yaml(args.config)
+    rng = jax.random.PRNGKey(args.seed)
+    ld, unet, uparams, vae, vparams, clip = build_ldm(cfg, rng)
+
+    if args.ckpt:
+        from sd_tpu.train.diffusion import init_train_state
+        from sd_tpu.train.diffusion import ddpm_optimizer
+
+        state = init_train_state(uparams, ddpm_optimizer(1e-4),
+                                 num_timesteps=ld.schedule.num_timesteps)
+        state = restore_checkpoint(args.ckpt, state)
+        # sample with EMA weights when available (the reference's ema_scope)
+        uparams = (state.ema.shadow if state.ema is not None else state.params)
+        uparams = jax.tree.map(lambda s, p: s.astype(p.dtype), uparams,
+                               state.params)
+
+    prompts = args.prompt
+    b = args.batch or len(prompts)
+    if len(prompts) == 1 and b > 1:
+        prompts = prompts * b
+
+    sc = cfg.get("sample", {})
+    steps = args.steps or sc.get("num_steps", 50)
+    gs = args.guidance_scale if args.guidance_scale is not None else sc.get(
+        "guidance_scale", 7.5)
+    eta = args.eta if args.eta is not None else sc.get("eta", 0.0)
+
+    c = clip(prompts)
+    uc = clip([args.negative_prompt] * len(prompts))
+    lat = cfg["latent"]
+    shape = (len(prompts), lat["image_size"], lat["image_size"], lat["channels"])
+
+    img = ld.sample(
+        uparams, rng, shape,
+        cond={"c_crossattn": [c]}, uncond={"c_crossattn": [uc]},
+        guidance_scale=gs, num_steps=steps, eta=eta,
+    )
+    save_image_grid(np.asarray(img), args.out)
+    print(f"[done] wrote {args.out} ({shape[0]} images, {steps} steps, cfg={gs})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Train any capability config: ddpm | kl_vae | vq | ldm.
+
+Usage:
+  python scripts/train.py --config configs/ddpm_256.yaml --data /path/to/images
+  python scripts/train.py --config configs/sd_txt2img.yaml \
+      --data /path/to/coco/images --annotations captions_train2017.json
+
+The reference spreads these entry points over per-directory __main__ scripts
+(reference: DDPM/train.py, VAE/autoencoder.py:430-479, vqvae/autoencoder.py,
+Diffusion/main.py:20-129); here one CLI dispatches on the config's `task`.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--data", required=True, help="image directory")
+    ap.add_argument("--annotations", default=None,
+                    help="COCO captions json (ldm task)")
+    ap.add_argument("--out", default=None, help="output/run directory")
+    ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (cpu for smoke tests)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from sd_tpu.core.config import load_yaml
+    from sd_tpu.train import runners
+
+    cfg = load_yaml(args.config)
+    if args.annotations:
+        cfg["annotation_file"] = args.annotations
+    task = cfg.get("task")
+    out = args.out or f"runs/{task}"
+
+    run = {
+        "ddpm": runners.train_ddpm,
+        "kl_vae": runners.train_kl_vae,
+        "vq": runners.train_vq,
+        "ldm": runners.train_ldm,
+    }[task]
+    run(cfg, args.data, out_dir=out, max_steps=args.max_steps)
+    print(f"[done] task={task} out={out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Host-side datasets: image folders, LSUN-style lists, COCO captions,
+albumentations-style path datasets.
+
+Capability parity with the reference loaders (reference:
+DDPM/ImageDataset.py:9-47 folder-of-images with resize/flip/normalize;
+Dataset/lsun.py:8-36 LSUNBase; Diffusion/data/coco.py:9-57 CocoDataset
+(pycocotools); Diffusion/data/base.py:8-95 ImagePaths/Txt2ImgIterableBase).
+
+TPU-first: everything here is pure host code (PIL + numpy) that yields NHWC
+float32 arrays in [-1, 1]; device transfer and sharding happen in
+sd_tpu.parallel. pycocotools is not required — COCO's annotation JSON is
+parsed directly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+import numpy as np
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def _load_image(path: str, size: int, method: str = "bicubic",
+                center_crop: bool = False) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if center_crop:
+        w, h = img.size
+        s = min(w, h)
+        img = img.crop(((w - s) // 2, (h - s) // 2,
+                        (w + s) // 2, (h + s) // 2))
+    resample = {"bicubic": Image.BICUBIC, "bilinear": Image.BILINEAR,
+                "lanczos": Image.LANCZOS, "nearest": Image.NEAREST}[method]
+    img = img.resize((size, size), resample)
+    return np.asarray(img, np.float32) / 127.5 - 1.0
+
+
+class ImageFolderDataset:
+    """Folder-of-images dataset with resize + random horizontal flip +
+    [-1,1] normalization (reference: DDPM/ImageDataset.py)."""
+
+    def __init__(self, root: str, image_size: int = 256,
+                 random_flip: bool = True, center_crop: bool = False,
+                 seed: int = 0):
+        self.root = root
+        self.image_size = image_size
+        self.random_flip = random_flip
+        self.center_crop = center_crop
+        self.paths = sorted(
+            os.path.join(dp, f)
+            for dp, _, files in os.walk(root)
+            for f in files
+            if f.lower().endswith(IMG_EXTENSIONS)
+        )
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, idx: int) -> dict:
+        img = _load_image(self.paths[idx], self.image_size,
+                          center_crop=self.center_crop)
+        if self.random_flip and self._rng.random() < 0.5:
+            img = img[:, ::-1].copy()
+        return {"image": img}
+
+
+class LSUNDataset(ImageFolderDataset):
+    """LSUN-style folder dataset (reference: Dataset/lsun.py LSUNBase —
+    resize 256 + normalize; flip off by default there)."""
+
+    def __init__(self, root: str, image_size: int = 256, **kw):
+        kw.setdefault("random_flip", False)
+        super().__init__(root, image_size, **kw)
+
+
+class ImagePathsDataset:
+    """Explicit path-list dataset with optional per-item labels
+    (reference: Diffusion/data/base.py ImagePaths)."""
+
+    def __init__(self, paths: Sequence[str], image_size: int = 256,
+                 labels: dict | None = None, center_crop: bool = True):
+        self.paths = list(paths)
+        self.image_size = image_size
+        self.labels = labels or {}
+        self.center_crop = center_crop
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, idx: int) -> dict:
+        out = {k: v[idx] for k, v in self.labels.items()}
+        out["image"] = _load_image(self.paths[idx], self.image_size,
+                                   center_crop=self.center_crop)
+        return out
+
+
+class CocoCaptionDataset:
+    """(image, caption) pairs from a COCO captions annotation file
+    (reference: Diffusion/data/coco.py CocoDataset, ldm/Dataset/coco.py).
+
+    Parses `captions_*.json` directly: {'images': [{id, file_name}],
+    'annotations': [{image_id, caption}]} — no pycocotools needed.
+    One example per (image, caption) pair, like the reference."""
+
+    def __init__(self, image_dir: str, annotation_file: str,
+                 image_size: int = 256, max_items: int | None = None):
+        self.image_dir = image_dir
+        self.image_size = image_size
+        with open(annotation_file) as f:
+            meta = json.load(f)
+        id_to_file = {im["id"]: im["file_name"] for im in meta["images"]}
+        self.items = []
+        for ann in meta["annotations"]:
+            fn = id_to_file.get(ann["image_id"])
+            if fn is None:
+                continue
+            self.items.append((fn, ann["caption"]))
+            if max_items is not None and len(self.items) >= max_items:
+                break
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, idx: int) -> dict:
+        fn, caption = self.items[idx]
+        img = _load_image(os.path.join(self.image_dir, fn), self.image_size)
+        return {"image": img, "txt_raw": caption.strip()}

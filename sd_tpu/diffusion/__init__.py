@@ -1,2 +1,8 @@
 from sd_tpu.diffusion.ddpm import DDPMProcess
 from sd_tpu.diffusion.ddim import DDIMSampler
+from sd_tpu.diffusion.latent import (
+    LatentDiffusion,
+    apply_conditioned,
+    calibrate_scale_factor,
+    patched_apply,
+)

@@ -1,0 +1,296 @@
+"""Config-driven training runners for the five capability configs.
+
+The entry-point layer (reference L6/L5, SURVEY.md §1): what
+`python DDPM/train.py`, `python VAE/autoencoder.py`, and
+`python Diffusion/main.py` each hand-roll (reference: DDPM/train.py:13-149,
+VAE/autoencoder.py:430-479, Diffusion/main.py:20-129) implemented once:
+build models from the YAML config, set up the jitted train step (optionally
+data-parallel over a mesh), run the host loop with metrics/checkpoint/sample
+dumps, auto-resume from the latest checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sd_tpu.core.config import instantiate_from_config, load_yaml
+from sd_tpu.core.schedules import DiffusionSchedule
+from sd_tpu.diffusion.ddpm import DDPMProcess
+from sd_tpu.losses.gan import GanLossConfig
+from sd_tpu.models.discriminator import NLayerDiscriminator
+from sd_tpu.train import lr_schedules
+from sd_tpu.train.checkpoint import auto_resume, save_checkpoint
+from sd_tpu.train.diffusion import (
+    ddpm_optimizer,
+    init_train_state,
+    make_diffusion_train_step,
+)
+from sd_tpu.train.gan import (
+    gan_adam,
+    init_gan_state,
+    make_kl_gan_train_step,
+    make_vq_gan_train_step,
+)
+from sd_tpu.train.metrics import MetricsLogger, count_params, save_image_grid
+
+
+def _make_lr(train_cfg: dict):
+    lr = train_cfg.get("lr", 1e-4)
+    sched = train_cfg.get("lr_schedule")
+    if sched is None:
+        return lr
+    if sched == "cosine":
+        return lr_schedules.cosine_annealing(lr, train_cfg.get("total_steps", 10000))
+    if isinstance(sched, dict):
+        lam = lr_schedules.lambda_linear_schedule(**sched)
+        return lambda step: lr * lam(step)
+    raise ValueError(f"unknown lr_schedule {sched!r}")
+
+
+def _build_loader(data_dir: str, cfg: dict, batch_size: int):
+    from sd_tpu.data.datasets import CocoCaptionDataset, ImageFolderDataset
+    from sd_tpu.data.loader import DataLoader
+
+    ann = cfg.get("annotation_file")
+    size = cfg.get("train", {}).get("image_size", 256)
+    if ann:
+        ds = CocoCaptionDataset(data_dir, ann, image_size=size)
+    else:
+        ds = ImageFolderDataset(data_dir, image_size=size)
+    return DataLoader(ds, batch_size=batch_size)
+
+
+def train_ddpm(config: dict | str, data_dir: str, out_dir: str = "runs/ddpm",
+               max_steps: int | None = None) -> Any:
+    """Capability #1: unconditional pixel-space DDPM training."""
+    cfg = load_yaml(config) if isinstance(config, str) else config
+    tc = cfg["train"]
+    rng = jax.random.PRNGKey(cfg.get("seed", 0))
+
+    model = instantiate_from_config(cfg["model"])
+    sched = DiffusionSchedule.create(**cfg.get("diffusion", {}))
+    process = DDPMProcess(sched, clip_denoised=True)
+
+    size = tc.get("image_size", 256)
+    dummy = jnp.zeros((1, size, size, model.out_channels))
+    params = model.init(rng, dummy, jnp.zeros((1,), jnp.int32))["params"]
+    print(f"[ddpm] params: {count_params(params)/1e6:.1f}M")
+
+    opt = ddpm_optimizer(_make_lr(tc), tc.get("grad_clip", 1.0))
+    state = init_train_state(params, opt, tc.get("ema_decay", 0.9999))
+    state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
+
+    def loss_fn(p, batch, rng, logvar):
+        model_fn = lambda x, t, c: model.apply(
+            {"params": p}, x, t, deterministic=False,
+            rngs={"dropout": jax.random.fold_in(rng, 1)},
+        )
+        x = batch["image"]
+        rng_t, rng_n = jax.random.split(rng)
+        t = jax.random.randint(rng_t, (x.shape[0],), 0, sched.num_timesteps)
+        noise = jax.random.normal(rng_n, x.shape)
+        return process.p_losses(model_fn, x, t, noise, learned_logvar=logvar)
+
+    step_fn = make_diffusion_train_step(loss_fn, opt)
+    _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
+              max_steps=max_steps,
+              batch_transform=lambda b: {"image": jnp.asarray(b["image"])},
+              sampler=lambda st, r: process.p_sample_loop(
+                  lambda x, t, c: model.apply({"params": st.params}, x, t),
+                  r, (cfg.get("sample", {}).get("num_images", 4), size, size,
+                      model.out_channels)))
+    return state
+
+
+def train_kl_vae(config: dict | str, data_dir: str, out_dir: str = "runs/klvae",
+                 max_steps: int | None = None, lpips_fn=None) -> Any:
+    """Capability #3: KL-VAE with LPIPS+KL+PatchGAN loss."""
+    cfg = load_yaml(config) if isinstance(config, str) else config
+    tc = cfg["train"]
+    rng = jax.random.PRNGKey(cfg.get("seed", 0))
+
+    vae = instantiate_from_config(cfg["model"])
+    disc = NLayerDiscriminator(**cfg.get("discriminator", {}))
+    loss_cfg = GanLossConfig(**cfg.get("loss", {}))
+    if lpips_fn is None and loss_cfg.perceptual_weight > 0:
+        loss_cfg = GanLossConfig(
+            **{**cfg.get("loss", {}), "perceptual_weight": 0.0}
+        )  # no LPIPS weights available → pixel-only (documented fallback)
+
+    size = tc.get("image_size", 256)
+    dummy = jnp.zeros((1, size, size, 3))
+    vparams = vae.init(rng, dummy, rng)["params"]
+    dvars = disc.init(rng, dummy)
+    print(f"[kl-vae] params: {count_params(vparams)/1e6:.1f}M")
+
+    opt_g = gan_adam(tc.get("lr", 4.5e-6))
+    opt_d = gan_adam(tc.get("lr", 4.5e-6))
+    state = init_gan_state(vparams, dvars, opt_g, opt_d)
+    state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
+
+    ae_apply = lambda p, x, r: vae.apply({"params": p}, x, r)
+    step_fn = make_kl_gan_train_step(ae_apply, disc, lpips_fn, opt_g, opt_d,
+                                     loss_cfg)
+    _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
+              max_steps=max_steps,
+              sampler=lambda st, r: vae.apply(
+                  {"params": st.params_g["model"]},
+                  _peek_batch(cfg, data_dir), r)[0])
+    return state
+
+
+def train_vq(config: dict | str, data_dir: str, out_dir: str = "runs/vq",
+             max_steps: int | None = None, lpips_fn=None) -> Any:
+    """Capability #4: VQ-VAE with VQ-LPIPS-GAN loss."""
+    cfg = load_yaml(config) if isinstance(config, str) else config
+    tc = cfg["train"]
+    rng = jax.random.PRNGKey(cfg.get("seed", 0))
+
+    vq = instantiate_from_config(cfg["model"])
+    disc = NLayerDiscriminator(**cfg.get("discriminator", {}))
+    loss_kwargs = dict(cfg.get("loss", {}))
+    if lpips_fn is None:
+        loss_kwargs["perceptual_weight"] = 0.0
+    loss_cfg = GanLossConfig(**loss_kwargs)
+
+    size = tc.get("image_size", 256)
+    dummy = jnp.zeros((1, size, size, 3))
+    vparams = vq.init(rng, dummy)["params"]
+    dvars = disc.init(rng, dummy)
+    print(f"[vq] params: {count_params(vparams)/1e6:.1f}M")
+
+    opt_g = gan_adam(tc.get("lr", 4.5e-6))
+    opt_d = gan_adam(tc.get("lr", 4.5e-6))
+    state = init_gan_state(vparams, dvars, opt_g, opt_d)
+    state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
+
+    vq_apply = lambda p, x: vq.apply({"params": p}, x)
+    step_fn = make_vq_gan_train_step(vq_apply, disc, lpips_fn, opt_g, opt_d,
+                                     loss_cfg)
+    _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
+              max_steps=max_steps)
+    return state
+
+
+def build_ldm(cfg: dict, rng: jax.Array):
+    """Assemble the text-to-image LatentDiffusion stack from config.
+    Returns (ld, unet, unet_params, vae, vae_params, clip)."""
+    from sd_tpu.diffusion.latent import LatentDiffusion
+    from sd_tpu.models.clip_text import ClipTextConfig, FrozenClipTextEmbedder
+    from sd_tpu.models.autoencoder import AutoencoderKL
+
+    lat = cfg["latent"]
+    unet = instantiate_from_config(cfg["unet"])
+    vae = instantiate_from_config(cfg["first_stage"])
+    clip_cfg = ClipTextConfig(**cfg.get("cond_stage", {}).get("params", {}) or {})
+    clip = FrozenClipTextEmbedder(cfg=clip_cfg)
+
+    size, ch = lat["image_size"], lat["channels"]
+    r1, r2 = jax.random.split(rng)
+    pix = size * 8
+    vparams = vae.init(r1, jnp.zeros((1, pix, pix, 3)), r1)["params"]
+    uparams = unet.init(
+        r2, jnp.zeros((1, size, size, ch)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, clip_cfg.max_length, clip_cfg.hidden_size)),
+    )["params"]
+
+    sched = DiffusionSchedule.create(**cfg.get("diffusion", {}))
+    process = DDPMProcess(sched, clip_denoised=False)
+    ld = LatentDiffusion(
+        process=process,
+        unet_apply=lambda p, x, t, ctx, y=None: unet.apply(
+            {"params": p}, x, t, ctx, y
+        ),
+        encode_fn=lambda x, r: vae.apply(
+            {"params": vparams}, x, method=AutoencoderKL.encode
+        ).sample(r),
+        decode_fn=lambda z: vae.apply(
+            {"params": vparams}, z, method=AutoencoderKL.decode
+        ),
+        cond_fn=None,
+        conditioning_key=lat.get("conditioning_key", "crossattn"),
+        scale_factor=lat.get("scale_factor", 0.18215),
+    )
+    return ld, unet, uparams, vae, vparams, clip
+
+
+def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
+              max_steps: int | None = None) -> Any:
+    """Capability #5: text-conditioned latent diffusion training."""
+    cfg = load_yaml(config) if isinstance(config, str) else config
+    tc = cfg["train"]
+    rng = jax.random.PRNGKey(cfg.get("seed", 0))
+
+    ld, unet, uparams, vae, vparams, clip = build_ldm(cfg, rng)
+    print(f"[ldm] unet params: {count_params(uparams)/1e6:.1f}M")
+
+    opt = ddpm_optimizer(_make_lr(tc), tc.get("grad_clip", 1.0),
+                         weight_decay=tc.get("weight_decay", 0.0))
+    learn_logvar = tc.get("learn_logvar", False)
+    state = init_train_state(
+        uparams, opt, tc.get("ema_decay", 0.9999),
+        num_timesteps=ld.schedule.num_timesteps, learn_logvar=learn_logvar,
+    )
+    state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
+
+    def loss_fn(p, batch, rng, logvar):
+        return ld.training_loss(p, batch, rng, learned_logvar=logvar)
+
+    step_fn = make_diffusion_train_step(loss_fn, opt, learn_logvar=learn_logvar)
+
+    def embed_batch(batch):
+        out = {"image": jnp.asarray(batch["image"])}
+        texts = batch.get("txt_raw", [""] * len(batch["image"]))
+        out["txt_emb"] = clip(texts)
+        return out
+
+    _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
+              max_steps=max_steps, batch_transform=embed_batch)
+    return state
+
+
+def _peek_batch(cfg, data_dir):
+    loader = _build_loader(data_dir, cfg, 4)
+    for b in loader:
+        return jnp.asarray(b["image"])
+    raise RuntimeError("empty dataset")
+
+
+def _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start_step,
+              max_steps=None, sampler=None, batch_transform=None):
+    """Host loop. `batch_transform` maps the host batch dict to the second
+    argument of step_fn (default: the raw image array — the GAN-step shape)."""
+    tc = cfg["train"]
+    total = max_steps if max_steps is not None else tc.get("total_steps", 1000)
+    ckpt_every = tc.get("checkpoint_every", 1000)
+    eval_every = tc.get("eval_every", ckpt_every)
+    logger = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
+    loader = _build_loader(data_dir, cfg, tc.get("batch_size", 4))
+    if batch_transform is None:
+        batch_transform = lambda batch: jnp.asarray(batch["image"])
+
+    step = start_step
+    while step < total:
+        for batch in loader:
+            if step >= total:
+                break
+            state, logs = step_fn(state, batch_transform(batch),
+                                  jax.random.fold_in(rng, step))
+            logger.log(step, logs)
+            step += 1
+            if step % ckpt_every == 0:
+                save_checkpoint(os.path.join(out_dir, "ckpt"), state, step)
+            if sampler is not None and step % eval_every == 0:
+                eval_rng = jax.random.fold_in(jax.random.fold_in(rng, 0x5EED), step)
+                imgs = sampler(state, eval_rng)
+                save_image_grid(np.asarray(imgs),
+                                os.path.join(out_dir, f"samples/step_{step}.png"))
+    save_checkpoint(os.path.join(out_dir, "ckpt"), state, step)
+    logger.close()
+    return state
