@@ -103,6 +103,15 @@ def main():
 
     import jax
 
+    # persistent compile cache: repeat runs skip the multi-minute XLA compile
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/jax_compilation"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     if smoke:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp

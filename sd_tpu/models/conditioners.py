@@ -154,6 +154,20 @@ class SpatialRescaler(nn.Module):
         return x
 
 
+class HybridConditioner(nn.Module):
+    """Two sub-conditioners producing {'c_concat', 'c_crossattn'} for hybrid
+    conditioning (reference: DDIM/diffusion_modules.py:251-261)."""
+
+    concat_conditioner: nn.Module
+    crossattn_conditioner: nn.Module
+
+    def __call__(self, c_concat, c_crossattn) -> dict:
+        return {
+            "c_concat": [self.concat_conditioner(c_concat)],
+            "c_crossattn": [self.crossattn_conditioner(c_crossattn)],
+        }
+
+
 class ClipVisionTransformer(nn.Module):
     """CLIP ViT-B/32 visual tower → image embedding [B, output_dim]
     (the TPU-native stand-in for `clip.load("ViT-B/32")` in the reference's

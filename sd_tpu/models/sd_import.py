@@ -1,0 +1,290 @@
+"""Import real Stable-Diffusion v1 checkpoints into sd_tpu param trees.
+
+The reference's parity oracle is a hand-written 885-line layer-by-layer weight
+map against SD checkpoints (reference: VAE/test/weight_test.md, loaded by
+VAE/test/test.py:29-267 and vqvae/test/test.py); here the mapping is code:
+
+  * `import_sd_vae(params, state_dict, ...)`   — `first_stage_model.*` →
+    AutoencoderKL (encoder/decoder/quant convs/attn blocks)
+  * `import_sd_unet(params, state_dict, ...)`  — `model.diffusion_model.*` →
+    UNetModel (input/middle/output blocks, SpatialTransformers, time MLP)
+  * `load_sd_checkpoint(path)`                 — torch.load + prefix split
+
+Layout conversions: torch Conv OIHW → flax HWIO; torch Linear [out,in] →
+flax [in,out]; GroupNorm/LayerNorm weight→scale. All values load as fp32;
+cast afterwards with `sd_tpu.train.checkpoint.cast_tree`.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import numpy as np
+
+
+def _conv(sd, key):
+    w = np.asarray(sd[key + ".weight"], dtype=np.float32)
+    out = {"kernel": w.transpose(2, 3, 1, 0)}
+    if key + ".bias" in sd:
+        out["bias"] = np.asarray(sd[key + ".bias"], dtype=np.float32)
+    return out
+
+
+def _linear(sd, key):
+    w = np.asarray(sd[key + ".weight"], dtype=np.float32)
+    out = {"kernel": w.T}
+    if key + ".bias" in sd:
+        out["bias"] = np.asarray(sd[key + ".bias"], dtype=np.float32)
+    return out
+
+
+def _norm(sd, key):
+    return {"GroupNorm_0": {
+        "scale": np.asarray(sd[key + ".weight"], dtype=np.float32),
+        "bias": np.asarray(sd[key + ".bias"], dtype=np.float32),
+    }}
+
+
+def _layernorm(sd, key):
+    return {"LayerNorm_0": {
+        "scale": np.asarray(sd[key + ".weight"], dtype=np.float32),
+        "bias": np.asarray(sd[key + ".bias"], dtype=np.float32),
+    }}
+
+
+def _codec_resblock(sd, key, has_shortcut_key: str | None):
+    out = {
+        "norm1": _norm(sd, key + ".norm1"),
+        "conv1": _conv(sd, key + ".conv1"),
+        "norm2": _norm(sd, key + ".norm2"),
+        "conv2": _conv(sd, key + ".conv2"),
+    }
+    if key + ".temb_proj.weight" in sd:
+        out["temb_proj"] = _linear(sd, key + ".temb_proj")
+    if has_shortcut_key:
+        out[has_shortcut_key.split(".")[-1]] = _conv(sd, has_shortcut_key)
+    return out
+
+
+def _codec_attn(sd, key):
+    return {
+        "norm": _norm(sd, key + ".norm"),
+        "q": _conv(sd, key + ".q"),
+        "k": _conv(sd, key + ".k"),
+        "v": _conv(sd, key + ".v"),
+        "proj_out": _conv(sd, key + ".proj_out"),
+    }
+
+
+def import_sd_vae(
+    params: dict,
+    sd: dict,
+    ch_mult: Sequence[int] = (1, 2, 4, 4),
+    num_res_blocks: int = 2,
+    attn_resolutions: Sequence[int] = (),
+    resolution: int = 256,
+    prefix: str = "first_stage_model.",
+) -> dict:
+    """Map an SD first-stage (AutoencoderKL) torch state_dict into our
+    AutoencoderKL params (config must match the checkpoint)."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    p = jax.tree.map(lambda x: x, params)
+    L = len(ch_mult)
+
+    def shortcut_key(base):
+        if base + ".nin_shortcut.weight" in sd:
+            return base + ".nin_shortcut"
+        if base + ".conv_shortcut.weight" in sd:
+            return base + ".conv_shortcut"
+        return None
+
+    # --- encoder ---------------------------------------------------------
+    enc = p["encoder"]
+    enc["conv_in"] = _conv(sd, "encoder.conv_in")
+    attn_count = 0
+    curr_res = resolution
+    for lvl in range(L):
+        for j in range(num_res_blocks):
+            base = f"encoder.down.{lvl}.block.{j}"
+            enc[f"down_{lvl}_block_{j}"] = _codec_resblock(sd, base,
+                                                           shortcut_key(base))
+            if curr_res in attn_resolutions:
+                enc[f"AttnBlock_{attn_count}"] = _codec_attn(
+                    sd, f"encoder.down.{lvl}.attn.{j}")
+                attn_count += 1
+        if lvl != L - 1:
+            enc[f"down_{lvl}_downsample"] = {
+                "conv": _conv(sd, f"encoder.down.{lvl}.downsample.conv")
+            }
+            curr_res //= 2
+    enc["mid_block_1"] = _codec_resblock(sd, "encoder.mid.block_1",
+                                         shortcut_key("encoder.mid.block_1"))
+    enc[f"AttnBlock_{attn_count}"] = _codec_attn(sd, "encoder.mid.attn_1")
+    enc["mid_block_2"] = _codec_resblock(sd, "encoder.mid.block_2",
+                                         shortcut_key("encoder.mid.block_2"))
+    enc["norm_out"] = _norm(sd, "encoder.norm_out")
+    enc["conv_out"] = _conv(sd, "encoder.conv_out")
+
+    # --- decoder ---------------------------------------------------------
+    dec = p["decoder"]
+    dec["conv_in"] = _conv(sd, "decoder.conv_in")
+    dec["mid_block_1"] = _codec_resblock(sd, "decoder.mid.block_1",
+                                         shortcut_key("decoder.mid.block_1"))
+    dec["AttnBlock_0"] = _codec_attn(sd, "decoder.mid.attn_1")
+    dec["mid_block_2"] = _codec_resblock(sd, "decoder.mid.block_2",
+                                         shortcut_key("decoder.mid.block_2"))
+    attn_count = 1
+    curr_res = resolution // 2 ** (L - 1)
+    for lvl in reversed(range(L)):
+        for j in range(num_res_blocks + 1):
+            base = f"decoder.up.{lvl}.block.{j}"
+            dec[f"up_{lvl}_block_{j}"] = _codec_resblock(sd, base,
+                                                         shortcut_key(base))
+            if curr_res in attn_resolutions:
+                dec[f"AttnBlock_{attn_count}"] = _codec_attn(
+                    sd, f"decoder.up.{lvl}.attn.{j}")
+                attn_count += 1
+        if lvl != 0:
+            dec[f"up_{lvl}_upsample"] = {
+                "conv": _conv(sd, f"decoder.up.{lvl}.upsample.conv")
+            }
+            curr_res *= 2
+    dec["norm_out"] = _norm(sd, "decoder.norm_out")
+    dec["conv_out"] = _conv(sd, "decoder.conv_out")
+
+    p["quant_conv"] = _conv(sd, "quant_conv")
+    p["post_quant_conv"] = _conv(sd, "post_quant_conv")
+    return p
+
+
+# ---------------------------------------------------------------------------
+# UNet
+# ---------------------------------------------------------------------------
+
+
+def _sd_resblock(sd, key):
+    out = {
+        "in_norm": _norm(sd, key + ".in_layers.0"),
+        "in_conv": _conv(sd, key + ".in_layers.2"),
+        "emb_proj": _linear(sd, key + ".emb_layers.1"),
+        "out_norm": _norm(sd, key + ".out_layers.0"),
+        "out_conv": _conv(sd, key + ".out_layers.3"),
+    }
+    if key + ".skip_connection.weight" in sd:
+        out["skip"] = _conv(sd, key + ".skip_connection")
+    return out
+
+
+def _sd_transformer(sd, key, depth: int):
+    out = {
+        "norm": _norm(sd, key + ".norm"),
+        "proj_in": _conv(sd, key + ".proj_in"),
+        "proj_out": _conv(sd, key + ".proj_out"),
+    }
+    for d in range(depth):
+        b = f"{key}.transformer_blocks.{d}"
+        out[f"block_{d}"] = {
+            "attn1": {
+                "to_q": _linear(sd, b + ".attn1.to_q"),
+                "to_k": _linear(sd, b + ".attn1.to_k"),
+                "to_v": _linear(sd, b + ".attn1.to_v"),
+                "to_out": _linear(sd, b + ".attn1.to_out.0"),
+            },
+            "attn2": {
+                "to_q": _linear(sd, b + ".attn2.to_q"),
+                "to_k": _linear(sd, b + ".attn2.to_k"),
+                "to_v": _linear(sd, b + ".attn2.to_v"),
+                "to_out": _linear(sd, b + ".attn2.to_out.0"),
+            },
+            "ff": {
+                "proj_in": _linear(sd, b + ".ff.net.0.proj"),
+                "proj_out": _linear(sd, b + ".ff.net.2"),
+            },
+            "norm1": _layernorm(sd, b + ".norm1"),
+            "norm2": _layernorm(sd, b + ".norm2"),
+            "norm3": _layernorm(sd, b + ".norm3"),
+        }
+    return out
+
+
+def import_sd_unet(
+    params: dict,
+    sd: dict,
+    channel_mult: Sequence[int] = (1, 2, 4, 4),
+    num_res_blocks: int = 2,
+    attention_resolutions: Sequence[int] = (4, 2, 1),
+    transformer_depth: int = 1,
+    prefix: str = "model.diffusion_model.",
+) -> dict:
+    """Map an SD UNet (`model.diffusion_model.*`) state_dict into our
+    UNetModel params (config must match the checkpoint)."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    p = jax.tree.map(lambda x: x, params)
+    L = len(channel_mult)
+
+    p["time_embed_1"] = _linear(sd, "time_embed.0")
+    p["time_embed_2"] = _linear(sd, "time_embed.2")
+    p["input_conv"] = _conv(sd, "input_blocks.0.0")
+
+    n = 1
+    ds = 1
+    for lvl in range(L):
+        for i in range(num_res_blocks):
+            p[f"in_{lvl}_{i}_res"] = _sd_resblock(sd, f"input_blocks.{n}.0")
+            if ds in attention_resolutions:
+                p[f"in_{lvl}_{i}_attn"] = _sd_transformer(
+                    sd, f"input_blocks.{n}.1", transformer_depth)
+            n += 1
+        if lvl != L - 1:
+            p[f"in_{lvl}_down"] = {"conv": _conv(sd, f"input_blocks.{n}.0.op")}
+            n += 1
+            ds *= 2
+
+    p["mid_res1"] = _sd_resblock(sd, "middle_block.0")
+    p["mid_attn"] = _sd_transformer(sd, "middle_block.1", transformer_depth)
+    p["mid_res2"] = _sd_resblock(sd, "middle_block.2")
+
+    n = 0
+    for lvl in reversed(range(L)):
+        for i in range(num_res_blocks + 1):
+            p[f"out_{lvl}_{i}_res"] = _sd_resblock(sd, f"output_blocks.{n}.0")
+            k = 1
+            if ds in attention_resolutions:
+                p[f"out_{lvl}_{i}_attn"] = _sd_transformer(
+                    sd, f"output_blocks.{n}.{k}", transformer_depth)
+                k += 1
+            if lvl != 0 and i == num_res_blocks:
+                p[f"out_{lvl}_up"] = {
+                    "conv": _conv(sd, f"output_blocks.{n}.{k}.conv")
+                }
+                ds //= 2
+            n += 1
+
+    p["out_norm"] = _norm(sd, "out.0")
+    p["out_conv"] = _conv(sd, "out.2")
+    return p
+
+
+def load_sd_checkpoint(path: str) -> dict:
+    """torch.load an SD .ckpt and return the flat state_dict (numpy values)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    state = ckpt.get("state_dict", ckpt)
+    return {k: v.numpy() if hasattr(v, "numpy") else v for k, v in state.items()}
+
+
+def assert_fully_loaded(params_before: dict, params_after: dict) -> list[str]:
+    """Return the list of leaf paths whose values did NOT change — a loaded
+    tree should change every leaf (the reference's weight_test.md audit,
+    automated)."""
+    unchanged = []
+    flat_b = jax.tree_util.tree_flatten_with_path(params_before)[0]
+    flat_a = jax.tree_util.tree_flatten_with_path(params_after)[0]
+    for (path, b), (_, a) in zip(flat_b, flat_a):
+        if np.asarray(b).shape != np.asarray(a).shape:
+            unchanged.append(jax.tree_util.keystr(path) + " [SHAPE MISMATCH]")
+        elif np.allclose(np.asarray(b), np.asarray(a)):
+            unchanged.append(jax.tree_util.keystr(path))
+    return unchanged
