@@ -34,8 +34,10 @@ class GroupNorm32(nn.Module):
         orig_dtype = x.dtype
         # clamp to the largest divisor of C that is <= num_groups, so tiny
         # test configs work; production channel counts are multiples of 32.
+        # Also keep >=2 channels per group (1-ch groups degenerate to
+        # instance norm, which cancels per-channel conditioning shifts).
         channels = x.shape[-1]
-        groups = self.num_groups
+        groups = min(self.num_groups, max(channels // 2, 1))
         while channels % groups != 0:
             groups -= 1
         y = nn.GroupNorm(

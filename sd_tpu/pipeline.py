@@ -1,0 +1,145 @@
+"""Text2ImagePipeline — the one-object serving API for capability config #5.
+
+The reference's equivalent "pipeline" is an ad-hoc combination of
+Diffusion/main.py model assembly + DDIMSampler + first-stage decode
+(reference: Diffusion/main.py:20-129, ldm/diffusion/ddpm.py:1742-1826);
+here it is a single object designed for production serving on TPU:
+
+  * one jitted end-to-end program (CLIP encode → scan-DDIM with CFG →
+    VAE decode), compiled per (batch, steps) shape and cached;
+  * weights load from an SD v1 checkpoint (`from_sd_checkpoint`) via
+    sd_tpu.models.sd_import, or random-init from a config;
+  * bf16 params with fp32 norm/softmax islands (the numerics contract);
+  * deterministic: same seed → same images.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Text2ImagePipeline:
+    def __init__(self, cfg: dict, rng: jax.Array | None = None,
+                 param_dtype=jnp.bfloat16):
+        from sd_tpu.train.runners import build_ldm
+
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        (self.ld, self.unet, self.unet_params, self.vae, self.vae_params,
+         self.clip) = build_ldm(cfg, rng)
+        self.cfg = cfg
+        self.param_dtype = param_dtype
+        if param_dtype is not None:
+            cast = lambda t: jax.tree.map(
+                lambda x: x.astype(param_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+            self.unet_params = cast(self.unet_params)
+            self.vae_params = cast(self.vae_params)
+            self.clip.params = cast(self.clip.params)
+        self._jitted = {}
+
+    # -- constructors --------------------------------------------------------
+
+    @classmethod
+    def from_config(cls, path: str, **kw) -> "Text2ImagePipeline":
+        from sd_tpu.core.config import load_yaml
+
+        return cls(load_yaml(path), **kw)
+
+    @classmethod
+    def from_sd_checkpoint(cls, config_path: str, ckpt_path: str,
+                           **kw) -> "Text2ImagePipeline":
+        """Load UNet+VAE weights from a Stable-Diffusion v1 .ckpt
+        (CLIP text weights load separately via import_torch_clip_text when a
+        HF checkpoint is available)."""
+        from sd_tpu.models.sd_import import (
+            import_sd_unet,
+            import_sd_vae,
+            load_sd_checkpoint,
+        )
+
+        pipe = cls.from_config(config_path, **kw)
+        sd = load_sd_checkpoint(ckpt_path)
+        ucfg = pipe.cfg["unet"]["params"]
+        pipe.unet_params = import_sd_unet(
+            jax.tree.map(np.asarray, pipe.unet_params), sd,
+            channel_mult=tuple(ucfg.get("channel_mult", (1, 2, 4, 4))),
+            num_res_blocks=ucfg.get("num_res_blocks", 2),
+            attention_resolutions=tuple(
+                ucfg.get("attention_resolutions", (4, 2, 1))),
+            transformer_depth=ucfg.get("transformer_depth", 1),
+        )
+        fcfg = pipe.cfg["first_stage"]["params"]
+        pipe.vae_params = import_sd_vae(
+            jax.tree.map(np.asarray, pipe.vae_params), sd,
+            ch_mult=tuple(fcfg.get("ch_mult", (1, 2, 4, 4))),
+            num_res_blocks=fcfg.get("num_res_blocks", 2),
+            attn_resolutions=tuple(fcfg.get("attn_resolutions", ())),
+            resolution=fcfg.get("resolution", 256),
+        )
+        if pipe.param_dtype is not None:
+            cast = lambda t: jax.tree.map(
+                lambda x: jnp.asarray(x, pipe.param_dtype)
+                if np.issubdtype(np.asarray(x).dtype, np.floating)
+                else jnp.asarray(x), t)
+            pipe.unet_params = cast(pipe.unet_params)
+            pipe.vae_params = cast(pipe.vae_params)
+        return pipe
+
+    # -- generation -----------------------------------------------------------
+
+    def _program(self, batch: int, steps: int, guidance_scale: float,
+                 eta: float):
+        key = (batch, steps, guidance_scale, eta)
+        if key in self._jitted:
+            return self._jitted[key]
+
+        lat = self.cfg["latent"]
+        shape = (batch, lat["image_size"], lat["image_size"], lat["channels"])
+
+        def program(unet_params, vae_params, clip_params, ids, neg_ids, rng):
+            c = self.clip.encode(clip_params, ids)
+            uc = self.clip.encode(clip_params, neg_ids)
+            if self.param_dtype is not None:
+                c, uc = c.astype(self.param_dtype), uc.astype(self.param_dtype)
+            ld = self.ld
+            z = ld.sample(
+                unet_params, rng, shape,
+                cond={"c_crossattn": [c]}, uncond={"c_crossattn": [uc]},
+                guidance_scale=guidance_scale, num_steps=steps, eta=eta,
+                decode=False,
+            )
+            from sd_tpu.models.autoencoder import AutoencoderKL
+
+            img = self.vae.apply(
+                {"params": vae_params},
+                (z / ld.scale_factor).astype(z.dtype),
+                method=AutoencoderKL.decode,
+            )
+            return img
+
+        fn = jax.jit(program)
+        self._jitted[key] = fn
+        return fn
+
+    def generate(
+        self,
+        prompts: Sequence[str],
+        negative_prompt: str = "",
+        num_steps: int = 50,
+        guidance_scale: float = 7.5,
+        eta: float = 0.0,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """prompts → uint8 images [B, H, W, 3]."""
+        ids = jnp.asarray(self.clip.tokenize(list(prompts)))
+        neg = jnp.asarray(self.clip.tokenize([negative_prompt] * len(prompts)))
+        fn = self._program(len(prompts), num_steps, guidance_scale, eta)
+        img = fn(self.unet_params, self.vae_params, self.clip.params,
+                 ids, neg, jax.random.PRNGKey(seed))
+        img = np.asarray(img.astype(jnp.float32))
+        return np.clip((img + 1.0) * 127.5, 0, 255).astype(np.uint8)

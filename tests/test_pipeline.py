@@ -1,0 +1,74 @@
+"""Text2ImagePipeline tests: generate determinism, SD-checkpoint loading path."""
+
+import numpy as np
+
+import jax
+
+from sd_tpu.core.config import load_yaml
+from sd_tpu.pipeline import Text2ImagePipeline
+
+
+def test_pipeline_generate_deterministic():
+    pipe = Text2ImagePipeline.from_config("configs/sd_txt2img_smoke.yaml",
+                                          param_dtype=None)
+    imgs = pipe.generate(["a cat", "a dog"], num_steps=3, guidance_scale=2.0,
+                         seed=7)
+    assert imgs.shape == (2, 32, 32, 3)
+    assert imgs.dtype == np.uint8
+    imgs2 = pipe.generate(["a cat", "a dog"], num_steps=3, guidance_scale=2.0,
+                          seed=7)
+    np.testing.assert_array_equal(imgs, imgs2)
+    imgs3 = pipe.generate(["a cat", "a dog"], num_steps=3, guidance_scale=2.0,
+                          seed=8)
+    assert not np.array_equal(imgs, imgs3)
+
+
+def test_pipeline_from_sd_checkpoint(tmp_path):
+    """End-to-end: synthesize a torch .ckpt matching the smoke config, load
+    through from_sd_checkpoint, generate."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from sd_tpu.models.autoencoder import AutoencoderKL
+    from sd_tpu.models.unet_sd import UNetModel
+    from test_sd_import import (
+        _synthetic_sd,
+        _torch_shapes_for_unet,
+        _torch_shapes_for_vae,
+    )
+
+    cfg = load_yaml("configs/sd_txt2img_smoke.yaml")
+    rng = jax.random.PRNGKey(0)
+
+    ucfg = cfg["unet"]["params"]
+    unet = UNetModel(**ucfg)
+    up = unet.init(rng, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+                   jnp.zeros((1, 7, ucfg["context_dim"])))["params"]
+    ushapes = _torch_shapes_for_unet(
+        up, channel_mult=tuple(ucfg["channel_mult"]),
+        num_res_blocks=ucfg["num_res_blocks"],
+        attention_resolutions=tuple(ucfg["attention_resolutions"]))
+
+    fcfg = cfg["first_stage"]["params"]
+    vae = AutoencoderKL(**fcfg)
+    vp = vae.init(rng, jnp.zeros((1, 32, 32, 3)), rng)["params"]
+    vshapes = _torch_shapes_for_vae(
+        vp, ch_mult=tuple(fcfg["ch_mult"]),
+        num_res_blocks=fcfg["num_res_blocks"],
+        attn_resolutions=tuple(fcfg["attn_resolutions"]),
+        resolution=fcfg["resolution"])
+
+    sd = {}
+    for k, v in _synthetic_sd(ushapes).items():
+        sd["model.diffusion_model." + k] = torch.tensor(v * 0.1)
+    for k, v in _synthetic_sd(vshapes).items():
+        sd["first_stage_model." + k] = torch.tensor(v * 0.1)
+    ckpt = tmp_path / "sd.ckpt"
+    torch.save({"state_dict": sd}, str(ckpt))
+
+    pipe = Text2ImagePipeline.from_sd_checkpoint(
+        "configs/sd_txt2img_smoke.yaml", str(ckpt), param_dtype=None)
+    imgs = pipe.generate(["hello"], num_steps=2)
+    assert imgs.shape == (1, 32, 32, 3)
+    assert np.isfinite(imgs.astype(np.float32)).all()
