@@ -136,6 +136,13 @@ def compiled_cost(fn, *args) -> dict:
     return dict(analysis) if analysis else {}
 
 
+def profile_trace(log_dir: str):
+    """Context manager producing a TensorBoard-loadable device trace
+    (SURVEY.md §5.1 — the reference has no tracing; this is the jax.profiler
+    replacement). Usage: `with profile_trace("/tmp/trace"): step(...)`."""
+    return jax.profiler.trace(log_dir, create_perfetto_link=False)
+
+
 class StepTimer:
     """Wall-clock per-step timing with warmup skip; reports mean/p50/p90."""
 

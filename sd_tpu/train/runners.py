@@ -98,13 +98,19 @@ def train_ddpm(config: dict | str, data_dir: str, out_dir: str = "runs/ddpm",
         return process.p_losses(model_fn, x, t, noise, learned_logvar=logvar)
 
     step_fn = make_diffusion_train_step(loss_fn, opt)
+
+    def sample_with_ema(st, r):
+        # the reference samples under ema_scope (ldm/diffusion/ddpm.py:247-265)
+        p = ema_eval_params(st)
+        return process.p_sample_loop(
+            lambda x, t, c: model.apply({"params": p}, x, t),
+            r, (cfg.get("sample", {}).get("num_images", 4), size, size,
+                model.out_channels))
+
     _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
               max_steps=max_steps,
               batch_transform=lambda b: {"image": jnp.asarray(b["image"])},
-              sampler=lambda st, r: process.p_sample_loop(
-                  lambda x, t, c: model.apply({"params": st.params}, x, t),
-                  r, (cfg.get("sample", {}).get("num_images", 4), size, size,
-                      model.out_channels)))
+              sampler=sample_with_ema)
     return state
 
 
@@ -253,6 +259,16 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
     _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
               max_steps=max_steps, batch_transform=embed_batch)
     return state
+
+
+def ema_eval_params(state):
+    """EMA shadow weights cast to the param dtypes when EMA is tracked, else
+    the raw params (the reference's ema_scope context)."""
+    from sd_tpu.core.ema import ema_copy_to
+
+    if getattr(state, "ema", None) is not None:
+        return ema_copy_to(state.ema, state.params)
+    return state.params
 
 
 def _peek_batch(cfg, data_dir):
