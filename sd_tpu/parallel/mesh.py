@@ -168,6 +168,21 @@ def make_parallel_train_step(
     return step
 
 
+def spatial_sharding(mesh: Mesh, ndim: int = 4, data_axis: str = "data",
+                     spatial_axis: str = "model") -> NamedSharding:
+    """Sequence/spatial parallelism for NHWC activations: batch on the data
+    axis AND image height on the second axis. GSPMD inserts the halo
+    exchanges convolutions need and the all-gathers attention needs — the
+    TPU-native analog of the reference's fold/unfold spatial patching
+    (ldm/diffusion/ddpm.py:894-994) for images too large for one chip,
+    without a patch loop."""
+    spec = [None] * ndim
+    spec[0] = data_axis
+    if ndim >= 3:
+        spec[1] = spatial_axis
+    return NamedSharding(mesh, P(*spec))
+
+
 def put_replicated(tree: PyTree, mesh: Mesh) -> PyTree:
     """Device-put a pytree fully replicated over the mesh."""
     return jax.device_put(tree, replicated(mesh))

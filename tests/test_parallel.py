@@ -109,6 +109,34 @@ def test_tp_sharded_matmul_correctness(rng):
                                atol=1e-5)
 
 
+def test_spatial_parallel_unet_matches(rng):
+    """Sequence/spatial parallelism: conv+attention UNet with H sharded over
+    'model' must equal the unsharded result (GSPMD halo exchange)."""
+    from jax.sharding import NamedSharding
+
+    from sd_tpu.models.unet_sd import UNetModel
+    from sd_tpu.parallel.mesh import spatial_sharding
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    unet = UNetModel(in_channels=4, model_channels=32, out_channels=4,
+                     num_res_blocks=1, attention_resolutions=(2,),
+                     channel_mult=(1, 2), num_heads=4, context_dim=32)
+    x = jax.random.normal(rng, (4, 32, 32, 4))
+    t = jnp.zeros((4,), jnp.int32)
+    c = jnp.zeros((4, 7, 32))
+    params = unet.init(rng, x[:1], t[:1], c[:1])["params"]
+
+    sp = spatial_sharding(mesh)
+    xs = jax.device_put(x, sp)
+    ps = jax.device_put(params, NamedSharding(mesh, P()))
+    f = jax.jit(lambda p, x, t, c: unet.apply({"params": p}, x, t, c),
+                out_shardings=sp)
+    out = f(ps, xs, t, c)
+    ref = unet.apply({"params": params}, x, t, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    assert out.sharding.spec == P("data", "model", None, None)
+
+
 def test_put_sharded_params(rng):
     mesh = make_mesh({"data": 4, "model": 2})
     params = {"to_q": {"kernel": jax.random.normal(rng, (8, 8))}}
