@@ -113,6 +113,7 @@ class CrossAttention(nn.Module):
         self,
         x: jax.Array,                       # [B, N, C]
         context: jax.Array | None = None,   # [B, M, Cc]
+        mask: jax.Array | None = None,      # [B, M] bool — True = attend
         *,
         deterministic: bool = True,
     ) -> jax.Array:
@@ -125,7 +126,20 @@ class CrossAttention(nn.Module):
         q = q.reshape(B, N, self.heads, self.dim_head)
         k = k.reshape(B, ctx.shape[1], self.heads, self.dim_head)
         v = v.reshape(B, ctx.shape[1], self.heads, self.dim_head)
-        out = dot_product_attention(q, k, v).reshape(B, N, inner)
+        if mask is not None:
+            # masked path: explicit logits (reference: the einsum branch of
+            # openai_model/attention.py:77-94; the flash kernel is unmasked)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            logits = logits.astype(jnp.float32) * self.dim_head**-0.5
+            logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+            probs = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+            out = out.astype(x.dtype)
+        else:
+            out = dot_product_attention(q, k, v)
+        out = out.reshape(B, N, inner)
         out = nn.Dense(C, dtype=self.dtype, name="to_out")(out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 

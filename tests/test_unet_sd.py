@@ -111,3 +111,19 @@ def test_attention_pool2d(rng):
     params = m.init(rng, x)
     out = m.apply(params, x)
     assert out.shape == (2, 8)
+
+
+def test_cross_attention_mask(rng):
+    from sd_tpu.nn.attention import CrossAttention
+
+    ca = CrossAttention(heads=2, dim_head=8)
+    x = jax.random.normal(rng, (1, 4, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 16))
+    params = ca.init(rng, x, ctx)
+    full = ca.apply(params, x, ctx, jnp.ones((1, 6), bool))
+    # masking out half the context must change the output
+    half = ca.apply(params, x, ctx, jnp.array([[True] * 3 + [False] * 3]))
+    assert float(jnp.max(jnp.abs(full - half))) > 1e-4
+    # unmasked call equals all-True mask at fp32 tolerance
+    un = ca.apply(params, x, ctx)
+    np.testing.assert_allclose(np.asarray(un), np.asarray(full), atol=1e-5)
