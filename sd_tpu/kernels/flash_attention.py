@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 LANES = 128
+LOG2E = 1.4426950408889634  # log2(e): softmax in exp2 form (VPU-cheaper)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -54,9 +55,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
 
     q = q_ref[0]  # [block_q, d]
     k = k_ref[0]  # [block_k, d]
+    # softmax in base-2: fold log2(e) into the scale so the VPU runs exp2
+    # (the native transcendental) — the kernel is exp-bound at small d.
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [block_q, block_k]
+    ) * (scale * LOG2E)  # [block_q, block_k], base-2 logits
 
     if kv_len % block_k != 0:  # static: only the last tile can be ragged
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -65,8 +68,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     m_prev = m_ref[:, :1]                                  # [block_q, 1]
     m_cur = jnp.max(s, axis=1, keepdims=True)              # [block_q, 1]
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)                                 # [block_q, block_k]
-    corr = jnp.exp(m_prev - m_new)                         # [block_q, 1]
+    p = jnp.exp2(s - m_new)                                # [block_q, block_k]
+    corr = jnp.exp2(m_prev - m_new)                        # [block_q, 1]
     l_new = corr * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
 
     pv = jax.lax.dot_general(
