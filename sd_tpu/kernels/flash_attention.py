@@ -175,9 +175,45 @@ def _fwd(q, k, v, scale, block_q, block_k, interpret):
 
 
 def _bwd(scale, block_q, block_k, interpret, res, g):
+    """Flash-style backward: recompute attention per q-chunk and accumulate
+    dk/dv with a scan — O(S·chunk) memory instead of the O(S²) logits tensor
+    (which is ~4 GB fp32 at the SD 4096-token level)."""
     q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _xla_ref(q, k, v, scale), q, k, v)
-    return vjp(g)
+    b, sq, h, d = q.shape
+    chunk = min(block_q, sq)
+    if sq % chunk != 0:  # odd lengths: fall back to the dense VJP
+        _, vjp = jax.vjp(lambda q, k, v: _xla_ref(q, k, v, scale), q, k, v)
+        return vjp(g)
+
+    n_chunks = sq // chunk
+    qc = q.reshape(b, n_chunks, chunk, h, d)
+    gc = g.reshape(b, n_chunks, chunk, h, d)
+
+    def body(carry, inp):
+        dk, dv = carry
+        q_i, g_i = inp  # [b, chunk, h, d]
+        s = jnp.einsum("bqhd,bkhd->bhqk", q_i, k,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+        dp = jnp.einsum("bqhd,bkhd->bhqk", g_i, v,
+                        preferred_element_type=jnp.float32).astype(jnp.float32)
+        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        dq_i = jnp.einsum("bhqk,bkhd->bqhd", ds.astype(q_i.dtype), k,
+                          preferred_element_type=jnp.float32) * scale
+        dk = dk + jnp.einsum("bhqk,bqhd->bkhd", ds.astype(q_i.dtype), q_i,
+                             preferred_element_type=jnp.float32) * scale
+        dv = dv + jnp.einsum("bhqk,bqhd->bkhd", p.astype(g_i.dtype), g_i,
+                             preferred_element_type=jnp.float32)
+        return (dk, dv), dq_i.astype(q_i.dtype)
+
+    dk0 = jnp.zeros(k.shape, jnp.float32)
+    dv0 = jnp.zeros(v.shape, jnp.float32)
+    (dk, dv), dqs = jax.lax.scan(
+        body, (dk0, dv0),
+        (qc.transpose(1, 0, 2, 3, 4), gc.transpose(1, 0, 2, 3, 4)),
+    )
+    dq = dqs.transpose(1, 0, 2, 3, 4).reshape(b, sq, h, d)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 _flash_attention_core.defvjp(_fwd, _bwd)
