@@ -103,6 +103,25 @@ def lambda_linear_schedule(
     return schedule
 
 
+def reduce_on_plateau(
+    factor: float = 0.5,
+    patience: int = 10,
+    rtol: float = 1e-4,
+    cooldown: int = 0,
+    min_scale: float = 0.0,
+):
+    """optax ReduceLROnPlateau transform (reference: vqvae/autoencoder.py
+    configure_optimizers uses torch ReduceLROnPlateau). Chain after the
+    optimizer and feed the monitored loss via
+    `opt.update(..., value=loss)`."""
+    from optax import contrib
+
+    return contrib.reduce_on_plateau(
+        factor=factor, patience=patience, rtol=rtol,
+        cooldown=cooldown, min_scale=min_scale,
+    )
+
+
 def cosine_annealing(base_lr: float, total_steps: int, eta_min: float = 0.0):
     """torch CosineAnnealingLR equivalent (reference: DDPM/train.py:51-57)."""
 
