@@ -131,11 +131,9 @@ def _flash_forward(
 
     qf, kf, vf = bhsd(q), bhsd(k), bhsd(v)
 
-    # pad depth to the 128-lane boundary (zero depth-padding is exact)
-    d_pad = _round_up(d, LANES)
-    if d_pad != d:
-        pad = [(0, 0), (0, 0), (0, d_pad - d)]
-        qf, kf, vf = (jnp.pad(x, pad) for x in (qf, kf, vf))
+    # depth is NOT padded: BlockSpec's last dim covers the full true d
+    # (Mosaic lane-pads in VMEM; materializing padded HBM copies measured
+    # ~3% slower at the SD shapes — the kernel is exp-bound, not copy-bound)
 
     bq = min(block_q, _round_up(sq, 8))
     bk = min(block_k, _round_up(skv, LANES))
@@ -148,7 +146,7 @@ def _flash_forward(
         vf = jnp.pad(vf, [(0, 0), (0, skv_pad - skv), (0, 0)])
 
     out = _flash_attention_bhsd(qf, kf, vf, scale, bq, bk, skv, interpret)
-    out = out[:, :sq, :d]
+    out = out[:, :sq]
     return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 
 
