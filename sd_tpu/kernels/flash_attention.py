@@ -135,6 +135,12 @@ def _flash_forward(
     # (Mosaic lane-pads in VMEM; materializing padded HBM copies measured
     # ~3% slower at the SD shapes — the kernel is exp-bound, not copy-bound)
 
+    # small-KV (cross-attention, e.g. 77-token text context): the whole KV is
+    # one tile, so the grid cost is q-steps — use a large q block to amortize
+    # per-step overhead (cross-attn was grid-overhead-bound at bq=512).
+    if skv <= 2 * LANES and sq >= 2048:
+        block_q = max(block_q, 2048)
+
     bq = min(block_q, _round_up(sq, 8))
     bk = min(block_k, _round_up(skv, LANES))
     sq_pad = _round_up(sq, bq)
