@@ -42,10 +42,9 @@ def _xla_attention(
 def _pallas_ok(q: jax.Array, k: jax.Array) -> bool:
     if jax.default_backend() != "tpu":
         return False
-    *_, sq, _h, d = q.shape[0], q.shape[1], q.shape[2], q.shape[3]
-    sq, skv, d = q.shape[1], k.shape[1], q.shape[3]
-    # flash kernel wants MXU-aligned tiles; small KV (e.g. 77-token CLIP
-    # context) goes through the padded cross-attention path instead.
+    sq, d = q.shape[1], q.shape[3]
+    # flash kernel wants MXU-aligned q tiles; kv raggedness is masked inside
+    # the kernel (77-token CLIP context pads to one 128-lane tile).
     return sq % 128 == 0 and d <= 256
 
 

@@ -19,13 +19,9 @@ import jax.numpy as jnp
 
 def hinge_d_loss(logits_real: jax.Array, logits_fake: jax.Array) -> jax.Array:
     """0.5·(E[relu(1−D(x))] + E[relu(1+D(x̂))]) (reference: VAE/loss.py hinge_d_loss)."""
-    loss_real = jnp.mean(nn_relu(1.0 - logits_real))
-    loss_fake = jnp.mean(nn_relu(1.0 + logits_fake))
+    loss_real = jnp.mean(jnp.maximum(1.0 - logits_real, 0.0))
+    loss_fake = jnp.mean(jnp.maximum(1.0 + logits_fake, 0.0))
     return 0.5 * (loss_real + loss_fake)
-
-
-def nn_relu(x):
-    return jnp.maximum(x, 0.0)
 
 
 def vanilla_d_loss(logits_real: jax.Array, logits_fake: jax.Array) -> jax.Array:
