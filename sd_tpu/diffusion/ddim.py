@@ -29,6 +29,10 @@ class DDIMSampler:
     schedule: DiffusionSchedule
     parameterization: str = "eps"
     clip_denoised: bool = False
+    # optional pred_x0 postprocess each step, e.g. the first stage's vector
+    # quantizer for VQ latents (reference: DDIM/ddim.py:196-197
+    # quantize_denoised via first_stage.quantize)
+    quantize_fn: Callable[[jax.Array], jax.Array] | None = None
 
     def make_schedule(
         self, num_steps: int, eta: float = 0.0, method: str = "uniform"
@@ -78,6 +82,8 @@ class DDIMSampler:
         pred_x0 = (x32 - sqrt_1m_at * e32) / jnp.sqrt(a_t)
         if self.clip_denoised:
             pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+        if self.quantize_fn is not None:
+            pred_x0 = self.quantize_fn(pred_x0).astype(pred_x0.dtype)
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e32
         noise = sigma_t * jax.random.normal(rng, x.shape, jnp.float32) * temperature
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise

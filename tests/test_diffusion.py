@@ -178,3 +178,20 @@ def test_ddim_eta_nonzero_stochastic(rng):
                           jax.random.fold_in(rng, 1), SHAPE, num_steps=10, eta=1.0)
     # different rng → different trajectories when eta > 0
     assert np.abs(np.asarray(out1) - np.asarray(out2)).max() > 1e-3
+
+
+def test_ddim_quantize_denoised(rng):
+    """quantize_fn is applied to pred_x0 each step (reference:
+    DDIM/ddim.py:196-197 quantize_denoised)."""
+    from sd_tpu.core.schedules import DiffusionSchedule
+    from sd_tpu.diffusion.ddim import DDIMSampler
+
+    sched = DiffusionSchedule.create(timesteps=20)
+    snap = lambda z: jnp.round(z * 2.0) / 2.0  # fake codebook snap
+    sampler = DDIMSampler(sched, quantize_fn=snap)
+    model_fn = lambda x, t, c: jnp.zeros_like(x)
+    img, pred = sampler.sample(model_fn, rng, (1, 4, 4, 2), num_steps=4,
+                               return_pred_x0=True)
+    # every intermediate pred_x0 sits on the snapped grid
+    p = np.asarray(pred)
+    np.testing.assert_allclose(p, np.round(p * 2.0) / 2.0, atol=1e-6)
