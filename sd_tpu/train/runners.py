@@ -107,7 +107,7 @@ def train_ddpm(config: dict | str, data_dir: str, out_dir: str = "runs/ddpm",
             r, (cfg.get("sample", {}).get("num_images", 4), size, size,
                 model.out_channels))
 
-    _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
+    state = _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
               max_steps=max_steps,
               batch_transform=lambda b: {"image": jnp.asarray(b["image"])},
               sampler=sample_with_ema)
@@ -143,7 +143,7 @@ def train_kl_vae(config: dict | str, data_dir: str, out_dir: str = "runs/klvae",
     ae_apply = lambda p, x, r: vae.apply({"params": p}, x, r)
     step_fn = make_kl_gan_train_step(ae_apply, disc, lpips_fn, opt_g, opt_d,
                                      loss_cfg)
-    _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
+    state = _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
               max_steps=max_steps,
               sampler=lambda st, r: vae.apply(
                   {"params": st.params_g["model"]},
@@ -179,7 +179,7 @@ def train_vq(config: dict | str, data_dir: str, out_dir: str = "runs/vq",
     vq_apply = lambda p, x: vq.apply({"params": p}, x)
     step_fn = make_vq_gan_train_step(vq_apply, disc, lpips_fn, opt_g, opt_d,
                                      loss_cfg)
-    _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
+    state = _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
               max_steps=max_steps)
     return state
 
@@ -256,7 +256,7 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
         out["txt_emb"] = clip(texts)
         return out
 
-    _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
+    state = _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
               max_steps=max_steps, batch_transform=embed_batch)
     return state
 
