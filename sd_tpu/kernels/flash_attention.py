@@ -229,13 +229,13 @@ def flash_attention(
     v: jax.Array,
     *,
     scale: float | None = None,
-    block_q: int = 512,
+    block_q: int = 1024,
     block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     # default blocks measured on v5e at the SD L0 shape (B8/S4096/H8/D40):
-    # q512/k1024 = 2.0x faster than q256/k512 (fewer grid steps, better
-    # MXU occupancy per step); see BASELINE.md kernel notes.
+    # q256/k512 → q512/k1024 = 2.0x, → q1024/k1024 another ~5% (fewer grid
+    # steps amortize per-step overhead); see BASELINE.md kernel notes.
     """Flash attention over q [B, Sq, H, D], k/v [B, Skv, H, D] (non-causal)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
