@@ -20,3 +20,28 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level API: keep `import sd_tpu` light (no data/PIL imports)
+    if name == "Text2ImagePipeline":
+        from sd_tpu.pipeline import Text2ImagePipeline
+
+        return Text2ImagePipeline
+    if name == "LatentDiffusion":
+        from sd_tpu.diffusion.latent import LatentDiffusion
+
+        return LatentDiffusion
+    if name == "DDIMSampler":
+        from sd_tpu.diffusion.ddim import DDIMSampler
+
+        return DDIMSampler
+    if name == "DDPMProcess":
+        from sd_tpu.diffusion.ddpm import DDPMProcess
+
+        return DDPMProcess
+    if name == "DiffusionSchedule":
+        from sd_tpu.core.schedules import DiffusionSchedule
+
+        return DiffusionSchedule
+    raise AttributeError(f"module 'sd_tpu' has no attribute {name!r}")
