@@ -26,7 +26,9 @@ class EmaState:
 
 
 def ema_init(params: PyTree, decay: float = 0.9999, use_num_updates: bool = True) -> EmaState:
-    shadow = jax.tree.map(lambda p: jnp.asarray(p, jnp.float32), params)
+    # explicit copy: fp32 params would otherwise ALIAS the shadow at init,
+    # which breaks buffer donation in the train step (double-donate error)
+    shadow = jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True), params)
     n0 = jnp.asarray(0 if use_num_updates else -1, dtype=jnp.int32)
     return EmaState(shadow=shadow, num_updates=n0, decay=decay)
 
