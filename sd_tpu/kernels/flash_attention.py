@@ -118,6 +118,127 @@ def _flash_attention_bhsd(
     )(q, k, v)
 
 
+def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref,
+                      l_ref, *, scale: float, kv_len: int, block_k: int):
+    """Forward that also emits base-2 row log-sum-exp (for the Pallas bwd)."""
+    j = pl.program_id(2)
+    n_j = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (scale * LOG2E)
+    if kv_len % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(j * block_k + col < kv_len, s, NEG_INF)
+
+    m_prev = m_ref[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp2(s - m_new)
+    corr = jnp.exp2(m_prev - m_new)
+    l_new = corr * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] * corr + pv
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == n_j - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        # base-2 lse; padded q rows (l==0) get NEG_INF → masked in bwd
+        lse = m_ref[:, :1] + jnp.log2(l)
+        lse_ref[0] = jnp.where(l_ref[:, :1] > 0.0, lse, NEG_INF)
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, acc_ref, *, scale: float, kv_len: int,
+                         block_k: int):
+    """dq = scale · Σ_kv [p ∘ (do·vᵀ − delta)] k, p recomputed from lse."""
+    j = pl.program_id(2)
+    n_j = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (scale * LOG2E)
+    if kv_len % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(j * block_k + col < kv_len, s, NEG_INF)
+
+    lse = lse_ref[0]                     # [block_q, 1]
+    p = jnp.exp2(s - lse)
+    p = jnp.where(lse > NEG_INF / 2, p, 0.0)  # padded q rows contribute 0
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                     # [block_q, block_k]
+    ds = p * (dp - delta_ref[0])
+    acc_ref[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == n_j - 1)
+    def _finalize():
+        dq_ref[0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float):
+    """dv = Σ_q pᵀ do;  dk = scale · Σ_q [p ∘ (do·vᵀ − delta)]ᵀ q."""
+    i = pl.program_id(2)
+    n_i = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    k = k_ref[0]
+    q = q_ref[0]
+    st = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (scale * LOG2E)                  # [block_k, block_q] = s2ᵀ
+    lse_row = lse_ref[0].reshape(1, -1)  # [1, block_q]
+    pt = jnp.exp2(st - lse_row)
+    pt = jnp.where(lse_row > NEG_INF / 2, pt, 0.0)  # mask padded q columns
+    dpt = jax.lax.dot_general(
+        v_ref[0], do_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                     # [block_k, block_q]
+    dst = pt * (dpt - delta_ref[0].reshape(1, -1))
+    dv_acc[:] += jax.lax.dot_general(
+        pt.astype(do_ref.dtype), do_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_acc[:] += jax.lax.dot_general(
+        dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == n_i - 1)
+    def _finalize():
+        dk_ref[0] = (dk_acc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
 def _flash_forward(
     q: jax.Array, k: jax.Array, v: jax.Array, *,
     scale: float, block_q: int, block_k: int, interpret: bool,
@@ -173,51 +294,144 @@ def _xla_ref(q, k, v, scale):
     return out.astype(q.dtype)
 
 
+def _bwd_geometry(sq: int, skv: int, block_q: int, block_k: int):
+    """Backward tiling: capped at 512 so the [bq, bk] fp32 intermediates
+    (s, p, dp, ds) stay well inside VMEM."""
+    bq = min(block_q, 512, _round_up(sq, 8))
+    bk = min(block_k, 512, _round_up(skv, LANES))
+    return bq, bk, _round_up(sq, bq), _round_up(skv, bk)
+
+
 def _fwd(q, k, v, scale, block_q, block_k, interpret):
-    out = _flash_attention_core(q, k, v, scale, block_q, block_k, interpret)
-    return out, (q, k, v)
+    """Forward for the VJP: same kernel family but also emits the base-2
+    row lse so the backward never re-derives the softmax normalizer."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+
+    def bhsd(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    qf, kf, vf = bhsd(q), bhsd(k), bhsd(v)
+    bq, bk, sq_pad, skv_pad = _bwd_geometry(sq, skv, block_q, block_k)
+    if sq_pad != sq:
+        qf = jnp.pad(qf, [(0, 0), (0, sq_pad - sq), (0, 0)])
+    if skv_pad != skv:
+        kf = jnp.pad(kf, [(0, 0), (0, skv_pad - skv), (0, 0)])
+        vf = jnp.pad(vf, [(0, 0), (0, skv_pad - skv), (0, 0)])
+
+    bh = b * h
+    grid = (bh, sq_pad // bq, skv_pad // bk)
+    kernel = functools.partial(
+        _flash_kernel_lse, scale=scale, kv_len=skv, block_k=bk
+    )
+    out_f, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq_pad, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+    out = out_f[:, :sq].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    return out, (q, k, v, out_f, lse)
 
 
 def _bwd(scale, block_q, block_k, interpret, res, g):
-    """Flash-style backward: recompute attention per q-chunk and accumulate
-    dk/dv with a scan — O(S·chunk) memory instead of the O(S²) logits tensor
-    (which is ~4 GB fp32 at the SD 4096-token level)."""
-    q, k, v = res
+    """Pallas flash backward: a dq kernel (kv innermost) and a dk/dv kernel
+    (q innermost), both recomputing p from the saved base-2 lse — no S×S
+    tensor is ever materialized (the dense logits are ~4 GB fp32 at the SD
+    4096-token level)."""
+    q, k, v, out_f, lse = res
     b, sq, h, d = q.shape
-    chunk = min(block_q, sq)
-    if sq % chunk != 0:  # odd lengths: fall back to the dense VJP
-        _, vjp = jax.vjp(lambda q, k, v: _xla_ref(q, k, v, scale), q, k, v)
-        return vjp(g)
+    skv = k.shape[1]
+    bh = b * h
 
-    n_chunks = sq // chunk
-    qc = q.reshape(b, n_chunks, chunk, h, d)
-    gc = g.reshape(b, n_chunks, chunk, h, d)
+    def bhsd(x):
+        return x.transpose(0, 2, 1, 3).reshape(bh, x.shape[1], d)
 
-    def body(carry, inp):
-        dk, dv = carry
-        q_i, g_i = inp  # [b, chunk, h, d]
-        s = jnp.einsum("bqhd,bkhd->bhqk", q_i, k,
-                       preferred_element_type=jnp.float32) * scale
-        p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
-        dp = jnp.einsum("bqhd,bkhd->bhqk", g_i, v,
-                        preferred_element_type=jnp.float32).astype(jnp.float32)
-        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
-        dq_i = jnp.einsum("bhqk,bkhd->bqhd", ds.astype(q_i.dtype), k,
-                          preferred_element_type=jnp.float32) * scale
-        dk = dk + jnp.einsum("bhqk,bqhd->bkhd", ds.astype(q_i.dtype), q_i,
-                             preferred_element_type=jnp.float32) * scale
-        dv = dv + jnp.einsum("bhqk,bqhd->bkhd", p.astype(g_i.dtype), g_i,
-                             preferred_element_type=jnp.float32)
-        return (dk, dv), dq_i.astype(q_i.dtype)
+    bq, bk, sq_pad, skv_pad = _bwd_geometry(sq, skv, block_q, block_k)
+    qf, kf, vf, gf = bhsd(q), bhsd(k), bhsd(v), bhsd(g)
+    if sq_pad != sq:
+        pad = [(0, 0), (0, sq_pad - sq), (0, 0)]
+        qf, gf = jnp.pad(qf, pad), jnp.pad(gf, pad)
+    if skv_pad != skv:
+        pad = [(0, 0), (0, skv_pad - skv), (0, 0)]
+        kf, vf = jnp.pad(kf, pad), jnp.pad(vf, pad)
 
-    dk0 = jnp.zeros(k.shape, jnp.float32)
-    dv0 = jnp.zeros(v.shape, jnp.float32)
-    (dk, dv), dqs = jax.lax.scan(
-        body, (dk0, dv0),
-        (qc.transpose(1, 0, 2, 3, 4), gc.transpose(1, 0, 2, 3, 4)),
+    # delta_i = Σ_d do ∘ o (rowwise), from the padded forward output
+    delta = jnp.sum(
+        gf.astype(jnp.float32) * out_f.astype(jnp.float32), axis=-1,
+        keepdims=True,
     )
-    dq = dqs.transpose(1, 0, 2, 3, 4).reshape(b, sq, h, d)
-    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+    # ---- dq: grid (bh, q-tiles, kv-tiles), kv innermost ----------------
+    dq_kernel = functools.partial(
+        _flash_bwd_dq_kernel, scale=scale, kv_len=skv, block_k=bk
+    )
+    dqf = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, sq_pad // bq, skv_pad // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),   # q
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),   # k
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),   # v
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),   # do
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),   # lse
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),   # delta
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        interpret=interpret,
+    )(qf, kf, vf, gf, lse, delta)
+
+    # ---- dk/dv: grid (bh, kv-tiles, q-tiles), q innermost ---------------
+    dkv_kernel = functools.partial(_flash_bwd_dkv_kernel, scale=scale)
+    dkf, dvf = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, skv_pad // bk, sq_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),   # k
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),   # v
+            pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),   # q
+            pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),   # do
+            pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0)),   # lse
+            pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0)),   # delta
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, skv_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, skv_pad, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(kf, vf, qf, gf, lse, delta)
+
+    def unflat(x, s):
+        return x[:, :s].reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+    return unflat(dqf, sq), unflat(dkf, skv), unflat(dvf, skv)
 
 
 _flash_attention_core.defvjp(_fwd, _bwd)
