@@ -294,11 +294,17 @@ def _xla_ref(q, k, v, scale):
     return out.astype(q.dtype)
 
 
-def _bwd_geometry(sq: int, skv: int, block_q: int, block_k: int):
+def _bwd_geometry(sq: int, skv: int, block_q: int, block_k: int, d: int):
     """Backward tiling: capped at 512 so the [bq, bk] fp32 intermediates
-    (s, p, dp, ds) stay well inside VMEM."""
+    (s, p, dp, ds) stay well inside VMEM, and scaled down for wide heads
+    (d=1280 at the SD mid block) so double-buffered [b*, d] tiles fit."""
     bq = min(block_q, 512, _round_up(sq, 8))
     bk = min(block_k, 512, _round_up(skv, LANES))
+    while bq * d * 2 > 262144 and bq > 64:   # ≤256 KB bf16 per q/do tile
+        bq //= 2
+    while bk * d * 2 > 262144 and bk > 128:  # ≤256 KB bf16 per k/v tile
+        bk //= 2
+    bq = max(8, bq)
     return bq, bk, _round_up(sq, bq), _round_up(skv, bk)
 
 
@@ -312,7 +318,7 @@ def _fwd(q, k, v, scale, block_q, block_k, interpret):
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
 
     qf, kf, vf = bhsd(q), bhsd(k), bhsd(v)
-    bq, bk, sq_pad, skv_pad = _bwd_geometry(sq, skv, block_q, block_k)
+    bq, bk, sq_pad, skv_pad = _bwd_geometry(sq, skv, block_q, block_k, d)
     if sq_pad != sq:
         qf = jnp.pad(qf, [(0, 0), (0, sq_pad - sq), (0, 0)])
     if skv_pad != skv:
@@ -364,7 +370,7 @@ def _bwd(scale, block_q, block_k, interpret, res, g):
     def bhsd(x):
         return x.transpose(0, 2, 1, 3).reshape(bh, x.shape[1], d)
 
-    bq, bk, sq_pad, skv_pad = _bwd_geometry(sq, skv, block_q, block_k)
+    bq, bk, sq_pad, skv_pad = _bwd_geometry(sq, skv, block_q, block_k, d)
     qf, kf, vf, gf = bhsd(q), bhsd(k), bhsd(v), bhsd(g)
     if sq_pad != sq:
         pad = [(0, 0), (0, sq_pad - sq), (0, 0)]
