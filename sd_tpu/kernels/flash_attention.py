@@ -9,14 +9,18 @@ Online-softmax tiling (Dao et al., FlashAttention-2) shaped for the TPU:
     accumulator, running max m and running sum l live in VMEM scratch across
     the kv sweep;
   * q·kᵀ and p·v hit the MXU with fp32 `preferred_element_type`;
-  * head_dim and sequence lengths are zero-padded to lane/tile multiples at
-    the JAX level (exact: zero-padded depth contributes nothing, padded kv
-    positions are masked to -inf, padded q rows are sliced away);
+  * base-2 softmax: log2(e) folds into the scale and the VPU runs exp2 —
+    measured exp-bound at SD head dims (see BASELINE.md);
+  * depth is never padded (BlockSpec's last dim covers the true head dim);
+    kv raggedness is masked in-kernel, padded q rows are sliced away;
+  * block sizes are tuned on v5e (q1024/k1024 defaults; large-q path for
+    small-KV cross attention; width-scaled blocks in the backward);
   * non-causal only — diffusion self/cross attention has no causal mask.
 
-Backward pass: the op is wrapped in `jax.custom_vjp`; the VJP recomputes
-attention with the XLA einsum path (flash-style recomputation — no S×S
-tensor is ever materialized in the forward residuals).
+Backward pass (`jax.custom_vjp`): the forward-for-VJP also emits the base-2
+row log-sum-exp; dq and dk/dv are two Pallas kernels that recompute p from
+the saved lse tile-by-tile — no S×S tensor is ever materialized in either
+direction (the dense logits would be ~4 GB fp32 at the SD 4096-token level).
 """
 
 from __future__ import annotations
