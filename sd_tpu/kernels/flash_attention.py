@@ -312,9 +312,22 @@ def _bwd_geometry(sq: int, skv: int, block_q: int, block_k: int, d: int):
     return bq, bk, _round_up(sq, bq), _round_up(skv, bk)
 
 
+def _use_pallas_bwd() -> bool:
+    """Pallas backward is opt-in for now: under remat+scan training graphs
+    the XLA scheduler over-allocates scoped VMEM around the bwd custom calls
+    (334M vs the 128M budget on v5e — under investigation); the chunked-JAX
+    backward is the default and measured fine (313 ms/step SD UNet @ B4)."""
+    import os
+
+    return os.environ.get("SD_TPU_FLASH_BWD", "chunked") == "pallas"
+
+
 def _fwd(q, k, v, scale, block_q, block_k, interpret):
     """Forward for the VJP: same kernel family but also emits the base-2
     row lse so the backward never re-derives the softmax normalizer."""
+    if not _use_pallas_bwd():
+        out = _flash_attention_core(q, k, v, scale, block_q, block_k, interpret)
+        return out, (q, k, v, None, None)
     b, sq, h, d = q.shape
     skv = k.shape[1]
 
@@ -361,12 +374,56 @@ def _fwd(q, k, v, scale, block_q, block_k, interpret):
     return out, (q, k, v, out_f, lse)
 
 
+def _bwd_chunked(scale, block_q, res, g):
+    """Chunked-recompute backward in plain JAX: scan over q chunks,
+    accumulate dk/dv — O(S·chunk) memory, no S×S tensor. The default
+    training backward (see _use_pallas_bwd)."""
+    q, k, v = res
+    b, sq, h, d = q.shape
+    chunk = min(block_q, 512, sq)
+    if sq % chunk != 0:  # odd lengths: dense fallback (cheap at these sizes)
+        _, vjp = jax.vjp(lambda q, k, v: _xla_ref(q, k, v, scale), q, k, v)
+        return vjp(g)
+
+    n_chunks = sq // chunk
+    qc = q.reshape(b, n_chunks, chunk, h, d)
+    gc = g.reshape(b, n_chunks, chunk, h, d)
+
+    def body(carry, inp):
+        dk, dv = carry
+        q_i, g_i = inp  # [b, chunk, h, d]
+        s = jnp.einsum("bqhd,bkhd->bhqk", q_i, k,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+        dp = jnp.einsum("bqhd,bkhd->bhqk", g_i, v,
+                        preferred_element_type=jnp.float32).astype(jnp.float32)
+        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        dq_i = jnp.einsum("bhqk,bkhd->bqhd", ds.astype(q_i.dtype), k,
+                          preferred_element_type=jnp.float32) * scale
+        dk = dk + jnp.einsum("bhqk,bqhd->bkhd", ds.astype(q_i.dtype), q_i,
+                             preferred_element_type=jnp.float32) * scale
+        dv = dv + jnp.einsum("bhqk,bqhd->bkhd", p.astype(g_i.dtype), g_i,
+                             preferred_element_type=jnp.float32)
+        return (dk, dv), dq_i.astype(q_i.dtype)
+
+    dk0 = jnp.zeros(k.shape, jnp.float32)
+    dv0 = jnp.zeros(v.shape, jnp.float32)
+    (dk, dv), dqs = jax.lax.scan(
+        body, (dk0, dv0),
+        (qc.transpose(1, 0, 2, 3, 4), gc.transpose(1, 0, 2, 3, 4)),
+    )
+    dq = dqs.transpose(1, 0, 2, 3, 4).reshape(b, sq, h, d)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 def _bwd(scale, block_q, block_k, interpret, res, g):
     """Pallas flash backward: a dq kernel (kv innermost) and a dk/dv kernel
     (q innermost), both recomputing p from the saved base-2 lse — no S×S
     tensor is ever materialized (the dense logits are ~4 GB fp32 at the SD
     4096-token level)."""
     q, k, v, out_f, lse = res
+    if out_f is None:
+        return _bwd_chunked(scale, block_q, res[:3], g)
     b, sq, h, d = q.shape
     skv = k.shape[1]
     bh = b * h
