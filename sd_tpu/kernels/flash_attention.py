@@ -220,14 +220,17 @@ def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
     st = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * (scale * LOG2E)                  # [block_k, block_q] = s2ᵀ
-    lse_row = lse_ref[0].reshape(1, -1)  # [1, block_q]
+    # lse/delta arrive PRE-TRANSPOSED as [1, block_q] rows: an in-kernel
+    # [bq,1]→[1,bq] reshape is a sublane→lane shuffle that spilled ~330 MB
+    # of registers in Mosaic — the transpose is done once in XLA instead.
+    lse_row = lse_ref[0]                 # [1, block_q]
     pt = jnp.exp2(st - lse_row)
     pt = jnp.where(lse_row > NEG_INF / 2, pt, 0.0)  # mask padded q columns
     dpt = jax.lax.dot_general(
         v_ref[0], do_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                     # [block_k, block_q]
-    dst = pt * (dpt - delta_ref[0].reshape(1, -1))
+    dst = pt * (dpt - delta_ref[0])
     dv_acc[:] += jax.lax.dot_general(
         pt.astype(do_ref.dtype), do_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -468,6 +471,9 @@ def _bwd(scale, block_q, block_k, interpret, res, g):
     )(qf, kf, vf, gf, lse, delta)
 
     # ---- dk/dv: grid (bh, kv-tiles, q-tiles), q innermost ---------------
+    # lse/delta transposed to row layout [bh, 1, sq] (see kernel comment)
+    lse_t = lse.transpose(0, 2, 1)
+    delta_t = delta.transpose(0, 2, 1)
     dkv_kernel = functools.partial(_flash_bwd_dkv_kernel, scale=scale)
     dkf, dvf = pl.pallas_call(
         dkv_kernel,
@@ -477,8 +483,8 @@ def _bwd(scale, block_q, block_k, interpret, res, g):
             pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),   # v
             pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),   # q
             pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),   # do
-            pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0)),   # lse
-            pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0)),   # delta
+            pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),   # lseᵀ
+            pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),   # deltaᵀ
         ],
         out_specs=(
             pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
@@ -493,7 +499,7 @@ def _bwd(scale, block_q, block_k, interpret, res, g):
             pltpu.VMEM((bk, d), jnp.float32),
         ],
         interpret=interpret,
-    )(kf, vf, qf, gf, lse, delta)
+    )(kf, vf, qf, gf, lse_t, delta_t)
 
     def unflat(x, s):
         return x[:, :s].reshape(b, h, s, d).transpose(0, 2, 1, 3)
