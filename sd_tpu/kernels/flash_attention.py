@@ -316,13 +316,13 @@ def _bwd_geometry(sq: int, skv: int, block_q: int, block_k: int, d: int):
 
 
 def _use_pallas_bwd() -> bool:
-    """Pallas backward is opt-in for now: under remat+scan training graphs
-    the XLA scheduler over-allocates scoped VMEM around the bwd custom calls
-    (334M vs the 128M budget on v5e — under investigation); the chunked-JAX
-    backward is the default and measured fine (313 ms/step SD UNet @ B4)."""
+    """Pallas backward is the default: 2.06x faster than the chunked-JAX
+    backward at the SD hot shape (24.9 vs 51.2 ms fwd+bwd) once the dkv
+    kernel's lse rows were pre-transposed (the in-kernel reshape spilled
+    ~330 MB of Mosaic registers). SD_TPU_FLASH_BWD=chunked opts out."""
     import os
 
-    return os.environ.get("SD_TPU_FLASH_BWD", "chunked") == "pallas"
+    return os.environ.get("SD_TPU_FLASH_BWD", "pallas") == "pallas"
 
 
 def _fwd(q, k, v, scale, block_q, block_k, interpret):
