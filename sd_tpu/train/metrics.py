@@ -53,6 +53,17 @@ class MetricsLogger:
             self._f.close()
 
 
+def ismap(x) -> bool:
+    """4D with >3 channels — a segmentation-style conditioning map
+    (reference: ldm/utils.py ismap; NHWC here)."""
+    return hasattr(x, "ndim") and x.ndim == 4 and x.shape[-1] > 3
+
+
+def isimage(x) -> bool:
+    """4D with 1 or 3 channels (reference: ldm/utils.py isimage; NHWC)."""
+    return hasattr(x, "ndim") and x.ndim == 4 and x.shape[-1] in (1, 3)
+
+
 def count_params(tree: PyTree) -> int:
     """Total parameter count (reference: ldm/utils.py:71-75 count_params)."""
     return sum(np.prod(x.shape) for x in jax.tree.leaves(tree)
