@@ -516,12 +516,12 @@ def flash_attention(
     v: jax.Array,
     *,
     scale: float | None = None,
-    block_q: int = 1024,
+    block_q: int = 2048,
     block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     # default blocks measured on v5e at the SD L0 shape (B8/S4096/H8/D40):
-    # q256/k512 → q512/k1024 = 2.0x, → q1024/k1024 another ~5% (fewer grid
+    # q256/k512 → q512/k1024 = 2.0x → q1024 +5% → q2048 +3% (fewer grid
     # steps amortize per-step overhead); see BASELINE.md kernel notes.
     """Flash attention over q [B, Sq, H, D], k/v [B, Skv, H, D] (non-causal)."""
     if scale is None:
