@@ -48,6 +48,47 @@ def _pallas_ok(q: jax.Array, k: jax.Array) -> bool:
     return sq % 128 == 0 and d <= 256
 
 
+# Tensor-parallel context: GSPMD cannot auto-partition a pallas_call, so
+# when a mesh with a model axis is active, the flash kernel runs under
+# shard_map over the head axis (attention is per-(batch, head) independent —
+# zero communication). Enable once per program via enable_sharded_attention.
+_SHARD_CTX: dict = {"mesh": None, "axis": None}
+
+
+def enable_sharded_attention(mesh, axis: str = "model") -> None:
+    """Route the flash kernel through shard_map over `axis` (heads) for
+    tensor-parallel meshes. Call with (None,) to disable."""
+    _SHARD_CTX["mesh"] = mesh
+    _SHARD_CTX["axis"] = axis if mesh is not None else None
+
+
+def _shard_mapped_flash(q, k, v, scale, interpret=False):
+    """flash attention with heads sharded over the TP axis (no collectives)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from sd_tpu.kernels.flash_attention import flash_attention
+
+    mesh, ax = _SHARD_CTX["mesh"], _SHARD_CTX["axis"]
+    spec = P(None, None, ax, None)
+    f = shard_map(
+        lambda q, k, v: flash_attention(q, k, v, scale=scale,
+                                        interpret=interpret),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_rep=False,
+    )
+    return f(q, k, v)
+
+
+def _shard_ctx_applies(q: jax.Array) -> bool:
+    mesh, ax = _SHARD_CTX["mesh"], _SHARD_CTX["axis"]
+    return (
+        mesh is not None
+        and ax in mesh.axis_names
+        and q.shape[2] % mesh.shape[ax] == 0
+    )
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -66,7 +107,10 @@ def dot_product_attention(
     impl = impl or os.environ.get("SD_TPU_ATTN_IMPL")
     if impl == "xla":
         return _xla_attention(q, k, v, scale)
-    if impl == "pallas" or (impl is None and _pallas_ok(q, k)):
+    use_pallas = impl == "pallas" or (impl is None and _pallas_ok(q, k))
+    if use_pallas and _shard_ctx_applies(q):
+        return _shard_mapped_flash(q, k, v, scale)
+    if use_pallas:
         from sd_tpu.kernels.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)

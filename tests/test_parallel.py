@@ -143,3 +143,32 @@ def test_put_sharded_params(rng):
     sh = infer_param_sharding(params, mesh, TP_RULES_UNET)
     placed = put_sharded_params(params, sh)
     assert placed["to_q"]["kernel"].sharding.spec == P(None, "model")
+
+
+def test_shard_mapped_flash_attention(rng):
+    """The flash kernel under shard_map over the head (model) axis equals
+    the unsharded result — the TP path for attention (GSPMD cannot partition
+    a pallas_call). Runs the real kernel in interpret mode on the CPU mesh."""
+    from sd_tpu.kernels.attention import (
+        _SHARD_CTX,
+        _shard_mapped_flash,
+        enable_sharded_attention,
+    )
+    from sd_tpu.kernels.flash_attention import flash_attention
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    B, S, H, D = 2, 256, 8, 16
+    q = jax.random.normal(rng, (B, S, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, D))
+    scale = D ** -0.5
+
+    ref = flash_attention(q, k, v, scale=scale, interpret=True)
+    enable_sharded_attention(mesh, "model")
+    try:
+        out = _shard_mapped_flash(q, k, v, scale, interpret=True)
+    finally:
+        enable_sharded_attention(None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
+    assert _SHARD_CTX["mesh"] is None  # disabled again
