@@ -56,7 +56,12 @@ class ImageFolderDataset:
             for f in files
             if f.lower().endswith(IMG_EXTENSIONS)
         )
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the flip RNG stream (called by loaders between epochs)."""
+        self._epoch = epoch
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -64,8 +69,13 @@ class ImageFolderDataset:
     def __getitem__(self, idx: int) -> dict:
         img = _load_image(self.paths[idx], self.image_size,
                           center_crop=self.center_crop)
-        if self.random_flip and self._rng.random() < 0.5:
-            img = img[:, ::-1].copy()
+        if self.random_flip:
+            # Per-item generator: __getitem__ runs concurrently from the
+            # loader's thread pool and np.random.Generator is not
+            # thread-safe — a shared stream would be racy/non-reproducible.
+            rng = np.random.default_rng((self.seed, self._epoch, idx))
+            if rng.random() < 0.5:
+                img = img[:, ::-1].copy()
         return {"image": img}
 
 

@@ -79,14 +79,27 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # Bounded put that re-checks `stop` — if the consumer breaks out
+            # early (mid-epoch), a blocking q.put would strand this thread
+            # (and its prefetched batches) forever.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for b in batches:
                     if stop.is_set():
                         return
                     items = list(pool.map(self.dataset.__getitem__, b))
-                    q.put(self.collate_fn(items))
-            q.put(None)
+                    if not put(self.collate_fn(items)):
+                        return
+            put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

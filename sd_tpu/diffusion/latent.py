@@ -299,7 +299,9 @@ def fold_patches(patches: jax.Array, out_hw: tuple[int, int], stride: int,
         return (out, norm), None
 
     (out, norm), _ = jax.lax.scan(body, (out, norm), jnp.arange(nh * nw))
-    return out / norm
+    # Border rows/cols not covered by any patch (when (H-ks) % stride != 0)
+    # have zero accumulated weight; clamp so they come out 0, not NaN.
+    return out / jnp.maximum(norm, 1e-8)
 
 
 def patched_apply(

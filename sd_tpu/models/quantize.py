@@ -117,10 +117,12 @@ class VectorQuantizer(nn.Module):
         z32, zq32 = z.astype(jnp.float32), z_q.astype(jnp.float32)
         commit = jnp.mean((jax.lax.stop_gradient(zq32) - z32) ** 2)
         embed = jnp.mean((zq32 - jax.lax.stop_gradient(z32)) ** 2)
+        # Reference placement (ldm/tamming/quantize.py:290-295): legacy puts
+        # beta on the *embedding* term, the fixed form puts it on commitment.
         if self.legacy:
-            loss = self.beta * commit + embed
-        else:
             loss = commit + self.beta * embed
+        else:
+            loss = self.beta * commit + embed
 
         # straight-through
         z_q = z + jax.lax.stop_gradient(z_q - z)
@@ -167,9 +169,10 @@ class VectorQuantizerOneHot(nn.Module):
         z_q = z_q.reshape(z.shape).astype(z.dtype)
 
         z32, zq32 = z.astype(jnp.float32), z_q.astype(jnp.float32)
+        # commit + beta*embed (reference: ldm/tamming/quantize.py:77-78)
         loss = jnp.mean(
             (jax.lax.stop_gradient(zq32) - z32) ** 2
-        ) * self.beta + jnp.mean((zq32 - jax.lax.stop_gradient(z32)) ** 2)
+        ) + self.beta * jnp.mean((zq32 - jax.lax.stop_gradient(z32)) ** 2)
 
         z_q = z + jax.lax.stop_gradient(z_q - z)
         perplexity = _perplexity(idx, self.n_e)

@@ -156,8 +156,17 @@ def make_parallel_train_step(
         )
 
     cache = {}
+    state_struct = jax.tree.structure(state_sharding)
 
     def step(state, batch, rng):
+        # The jitted programs bake in `state_sharding` (closure-fixed); a
+        # state with a different tree structure would silently hit the wrong
+        # program, so enforce the single-sharding assumption explicitly.
+        got = jax.tree.structure(state)
+        assert got == state_struct, (
+            "make_parallel_train_step was built for a different state "
+            f"structure; rebuild it for this state ({got} != {state_struct})"
+        )
         key = tuple(
             (tuple(x.shape), str(x.dtype)) for x in jax.tree.leaves(batch)
         )

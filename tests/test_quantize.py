@@ -53,7 +53,9 @@ def test_vq_straight_through_gradient(rng):
 def test_vq_legacy_vs_fixed_beta(rng):
     # the two beta placements share the same primal value (stop_gradient is
     # identity in the primal) but weight the encoder-commitment GRADIENT
-    # differently: legacy scales dz by beta, fixed leaves dz unscaled.
+    # differently: legacy leaves dz unscaled (beta lands on the embedding
+    # term), the fixed form scales dz by beta
+    # (reference: ldm/tamming/quantize.py:290-295).
     z = jax.random.normal(rng, (1, 2, 2, 4))
     grads = {}
     for legacy in (True, False):
@@ -61,7 +63,7 @@ def test_vq_legacy_vs_fixed_beta(rng):
         params = vq.init(jax.random.PRNGKey(0), z)
         g = jax.grad(lambda zz: vq.apply(params, zz)[1])(z)
         grads[legacy] = np.asarray(g)
-    np.testing.assert_allclose(grads[True] / 0.25, grads[False], atol=1e-6)
+    np.testing.assert_allclose(grads[False] / 0.25, grads[True], atol=1e-6)
 
 
 def test_vq_remap_round_trip(rng):
