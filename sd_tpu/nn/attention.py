@@ -157,12 +157,16 @@ class FeedForwardGEGLU(nn.Module):
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         C = x.shape[-1]
         inner = C * self.mult
+        # exact (erf) gelu: torch F.gelu / nn.GELU default, which is what the
+        # reference and SD checkpoints were trained with; jax defaults to the
+        # tanh approximation (~1e-3 divergence).
         if self.glu:
             h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
             h, gate = jnp.split(h, 2, axis=-1)
-            h = h * nn.gelu(gate)
+            h = h * nn.gelu(gate, approximate=False)
         else:
-            h = nn.gelu(nn.Dense(inner, dtype=self.dtype, name="proj_in")(x))
+            h = nn.gelu(nn.Dense(inner, dtype=self.dtype, name="proj_in")(x),
+                        approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
 
