@@ -142,6 +142,79 @@ def add_jpeg_noise(img: np.ndarray, rng: np.random.Generator,
 
 
 # ---------------------------------------------------------------------------
+# named single-degradation models (reference: image_degradation/bsrgan.py
+# :228-296 — the bicubic / srmd / dpsr / classical degradation families)
+# ---------------------------------------------------------------------------
+
+
+def bicubic_degradation(x: np.ndarray, sf: int = 3) -> np.ndarray:
+    """Plain bicubic 1/sf downsampling (reference: bsrgan.py:228-238)."""
+    h, w = x.shape[:2]
+    return resize(x, (h // sf, w // sf), "bicubic")
+
+
+def srmd_degradation(x: np.ndarray, k: np.ndarray, sf: int = 3) -> np.ndarray:
+    """SRMD model: blur THEN bicubic downsample (reference: bsrgan.py:240-259;
+    Zhang et al. 2018 'Learning a single convolutional super-resolution
+    network for multiple degradations')."""
+    x = _blur_wrap(x, k)
+    return bicubic_degradation(x, sf)
+
+
+def dpsr_degradation(x: np.ndarray, k: np.ndarray, sf: int = 3) -> np.ndarray:
+    """DPSR model: bicubic downsample THEN blur (reference: bsrgan.py:262-281;
+    Zhang et al. 2019 'Deep Plug-and-Play Super-Resolution')."""
+    x = bicubic_degradation(x, sf)
+    return _blur_wrap(x, k)
+
+
+def classical_degradation(x: np.ndarray, k: np.ndarray, sf: int = 3) -> np.ndarray:
+    """Classical model: blur then direct sf-strided subsampling
+    (reference: bsrgan.py:284-296)."""
+    x = _blur_wrap(x, k)
+    return x[::sf, ::sf, ...]
+
+
+def _blur_wrap(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """Channel-wise convolution with 'wrap' boundary — the named degradation
+    models use wrap, the composite pipeline uses mirror (reference mode args
+    at bsrgan.py:257,280,293 vs :585)."""
+    out = np.empty_like(img)
+    for c in range(img.shape[2]):
+        out[..., c] = ndimage.convolve(img[..., c], kernel, mode="wrap")
+    return out
+
+
+def shift_pixel(k: np.ndarray, sf: int) -> np.ndarray:
+    """Shift a blur kernel by (sf-1)/2 px toward the upper-left so strided
+    ::sf subsampling picks grid-aligned taps (reference: bsrgan.py:99-125,
+    used by the variant's shifted-kernel downsample :583-586)."""
+    shift = (sf - 1) * 0.5
+    out = ndimage.shift(k, (-shift, -shift), order=1, mode="nearest")
+    s = out.sum()
+    return out / s if s > 0 else k
+
+
+def add_sharpening(img: np.ndarray, weight: float = 0.5, radius: float = 50,
+                   threshold: int = 10) -> np.ndarray:
+    """USM sharpening with a soft mask (reference: bsrgan.py:299-322, borrowed
+    from Real-ESRGAN; cv2.GaussianBlur → scipy gaussian_filter here)."""
+    sigma = max(radius / 6.0, 1e-3)  # cv2 ksize→sigma convention, approx
+    blur = np.stack(
+        [ndimage.gaussian_filter(img[..., c], sigma) for c in range(img.shape[2])],
+        axis=-1,
+    )
+    residual = img - blur
+    mask = (np.abs(residual) * 255 > threshold).astype(np.float32)
+    soft_mask = np.stack(
+        [ndimage.gaussian_filter(mask[..., c], sigma) for c in range(mask.shape[2])],
+        axis=-1,
+    )
+    sharp = np.clip(img + weight * residual, 0, 1)
+    return (soft_mask * sharp + (1 - soft_mask) * img).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
 # composite degradations
 # ---------------------------------------------------------------------------
 
@@ -186,13 +259,76 @@ def degradation_bsrgan(
     return lq.astype(np.float32), hq
 
 
+def degradation_bsrgan_variant(
+    img: np.ndarray,
+    sf: int = 4,
+    rng: np.random.Generator | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The paper's degradation model ("Designing a Practical Degradation Model
+    for Deep Blind Image Super-Resolution") — reference: bsrgan.py:530-613:
+    optional ×2 pre-downsample at sf=4, a 7-slot shuffle with the random-scale
+    downsample2 kept before the to-target downsample3, gaussian noise,
+    probabilistic JPEG, final JPEG. Returns (lq, hq); lq is h//sf × w//sf."""
+    rng = rng or np.random.default_rng()
+    sf_ori = sf
+    h1, w1 = img.shape[:2]
+    img = img[: h1 - h1 % sf, : w1 - w1 % sf, ...].astype(np.float32).copy()
+    h, w = img.shape[:2]
+    hq = img.copy()
+
+    if sf == 4 and rng.random() < 0.25:  # downsample1 (scale2_prob)
+        method = ("bicubic", "bilinear", "nearest")[rng.integers(0, 3)]
+        img = resize(img, (h // 2, w // 2), method)
+        sf = 2
+
+    order = list(rng.permutation(7))
+    i2, i3 = order.index(2), order.index(3)
+    if i2 > i3:  # keep downsample2 before downsample3
+        order[i2], order[i3] = order[i3], order[i2]
+
+    a = b = None
+    for i in order:
+        if i in (0, 1):
+            img = apply_blur(img, random_blur_kernel(rng))
+        elif i == 2:
+            b, a = img.shape[:2]  # reference records (w, h) = (a, b) here
+            if rng.random() < 0.75:
+                sf1 = rng.uniform(1, 2 * sf)
+                method = ("bicubic", "bilinear", "nearest")[rng.integers(0, 3)]
+                img = resize(img, (max(1, int(img.shape[0] / sf1)),
+                                   max(1, int(img.shape[1] / sf1))), method)
+            else:
+                k = gaussian_kernel_2d(25, rng.uniform(0.1, 0.6 * sf))
+                img = apply_blur(img, shift_pixel(k, sf))
+                img = img[::sf, ::sf, ...]
+            img = np.clip(img, 0.0, 1.0)
+        elif i == 3:
+            ref_h = b if b is not None else img.shape[0]
+            ref_w = a if a is not None else img.shape[1]
+            method = ("bicubic", "bilinear", "nearest")[rng.integers(0, 3)]
+            img = resize(img, (int(ref_h / sf), int(ref_w / sf)), method)
+        elif i == 4:
+            img = add_gaussian_noise(img, rng, (2, 25))
+        elif i == 5:
+            if rng.random() < 0.9:  # jpeg_prob
+                img = add_jpeg_noise(img, rng)
+        # slot 6 = camera ISP model: commented out in the reference too
+
+    img = add_jpeg_noise(img, rng)
+    lq = resize(img, (h // sf_ori, w // sf_ori))  # enforce exact target size
+    return lq.astype(np.float32), hq
+
+
 def degradation_bsrgan_plus(
     img: np.ndarray, sf: int = 4, rng: np.random.Generator | None = None,
-    shuffle_prob: float = 0.5,
+    shuffle_prob: float = 0.5, use_sharp: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """`degradation_bsrgan_plus`: with prob `shuffle_prob` use the shuffled
-    composite, else a fixed blur→downsample→noise→jpeg order."""
+    """`degradation_bsrgan_plus`: optional USM pre-sharpening, then with prob
+    `shuffle_prob` the shuffled composite, else a fixed
+    blur→downsample→noise→jpeg order (reference: bsrgan.py:617-716)."""
     rng = rng or np.random.default_rng()
+    if use_sharp:
+        img = add_sharpening(img.astype(np.float32))
     if rng.random() < shuffle_prob:
         return degradation_bsrgan(img, sf, rng)
     hq = img.astype(np.float32).copy()

@@ -304,6 +304,86 @@ def fold_patches(patches: jax.Array, out_hw: tuple[int, int], stride: int,
     return out / jnp.maximum(norm, 1e-8)
 
 
+def bbox_patch_limits(
+    hw: tuple[int, int], ks: int, stride: int,
+    original_image_size: tuple[int, int], rescale_latent: int,
+) -> list[tuple[float, float, float, float]]:
+    """Normalized (x_t1, y_t1, w_frac, h_frac) crop box per patch, row-major
+    patch order (reference: ldm/diffusion/ddpm.py:1377-1394 — top-left patch
+    coordinates rescaled from latent to original-image fractions)."""
+    h, w = hw
+    n_row = (w - ks) // stride + 1
+    n_col = (h - ks) // stride + 1
+    full_h, full_w = original_image_size
+    out = []
+    for pn in range(n_row * n_col):
+        x_t1 = rescale_latent * stride * (pn % n_row) / full_w
+        y_t1 = rescale_latent * stride * (pn // n_row) / full_h
+        out.append(
+            (x_t1, y_t1, rescale_latent * ks / full_w, rescale_latent * ks / full_h)
+        )
+    return out
+
+
+def patched_apply_bbox(
+    ld: "LatentDiffusion",
+    params: PyTree,
+    x: jax.Array,                 # [B, H, W, C] noisy latent
+    t: jax.Array,                 # [B]
+    cond_tokens: jax.Array,       # [B, n] token ids of the base conditioning
+    *,
+    ks: int,
+    stride: int,
+    original_image_size: tuple[int, int],
+    rescale_latent: int,
+    crop_encoder: Callable[[tuple[float, float, float, float]], Any],
+    encode_tokens: Callable[[jax.Array], jax.Array],
+) -> jax.Array:
+    """The coordinates_bbox patched apply_model: every sliding-window patch is
+    re-conditioned on its own crop coordinates — the base conditioning's last
+    two tokens are cut and replaced by the tokenized patch bbox, re-encoded
+    through the cond stage (reference: ldm/diffusion/ddpm.py:1372-1419).
+
+    Unlike the reference's per-patch Python loop, all L patches run as ONE
+    batched UNet application of shape [L·B, ks, ks, C] (patch-major, matching
+    the reference's `rearrange(.., 'l b n -> (l b) n')`), then weighted
+    overlap-add folds the outputs back.
+
+    crop_encoder: bbox -> sequence of int token ids (the reference's
+    bbox_tokenizer._crop_encoder); encode_tokens: [L·B, n'] ids -> [L·B, M, D]
+    context embeddings (the cond stage).
+    """
+    import numpy as np
+
+    B, H, W, C = x.shape
+    patches = extract_patches(x, ks, stride)  # [B, nh, nw, ks, ks, C]
+    nh, nw = patches.shape[1], patches.shape[2]
+    L = nh * nw
+
+    limits = bbox_patch_limits((H, W), ks, stride, original_image_size,
+                               rescale_latent)
+    coord_tokens = jnp.asarray(
+        np.stack([np.asarray(crop_encoder(b), dtype=np.int32) for b in limits])
+    )  # [L, n_coord]
+    cut = cond_tokens[:, :-2]  # reference cuts the last two positions
+    adapted = jnp.concatenate(
+        [
+            jnp.broadcast_to(cut[None], (L, B, cut.shape[1])),
+            jnp.broadcast_to(coord_tokens[:, None], (L, B, coord_tokens.shape[1])),
+        ],
+        axis=-1,
+    ).reshape(L * B, -1)
+    ctx = encode_tokens(adapted)  # [L*B, M, D]
+
+    flat = patches.transpose(1, 2, 0, 3, 4, 5).reshape(L * B, ks, ks, C)
+    t_rep = jnp.broadcast_to(t[None], (L, B)).reshape(-1)
+    out = ld.apply_model(params, flat, t_rep, {"c_crossattn": [ctx]})
+
+    out = out.reshape(nh, nw, B, ks, ks, out.shape[-1]).transpose(2, 0, 1, 3, 4, 5)
+    weights = _tie_breaker_weights(ks)
+    return fold_patches(out, (H, W), stride, weights).astype(x.dtype)
+
+
 def patched_apply(
     fn: Callable[[jax.Array], jax.Array],
     x: jax.Array,

@@ -43,26 +43,49 @@ def _pallas_ok(q: jax.Array, k: jax.Array) -> bool:
     if jax.default_backend() != "tpu":
         return False
     sq, d = q.shape[1], q.shape[3]
+    skv = k.shape[1]
     # flash kernel wants MXU-aligned q tiles; kv raggedness is masked inside
     # the kernel (77-token CLIP context pads to one 128-lane tile).
-    return sq % 128 == 0 and d <= 256
+    if sq % 128 != 0 or d > 256:
+        return False
+    # measured crossovers on v5e (PROBE_R2.jsonl, bf16, B8/h8):
+    #   cross-attn kv=77, Sq=4096/d40: XLA 0.26 ms vs flash 0.85 ms — the
+    #     S×77 logits are tiny, flash's grid overhead dominates;
+    #   self-attn S=256/d160: XLA 0.219 ms vs flash 0.258 ms;
+    #   self-attn S=1024/d80: flash 0.324 ms vs XLA 0.779 ms — flash wins.
+    # So flash only pays once the kv side is long enough that the dense
+    # S_q×S_kv logits tensor is the bottleneck.
+    return skv >= 512 and sq >= 512
 
 
 # Tensor-parallel context: GSPMD cannot auto-partition a pallas_call, so
 # when a mesh with a model axis is active, the flash kernel runs under
 # shard_map over the head axis (attention is per-(batch, head) independent —
 # zero communication). Enable once per program via enable_sharded_attention.
-_SHARD_CTX: dict = {"mesh": None, "axis": None}
+# `interpret` runs the kernel in Pallas interpret mode — how the virtual
+# CPU mesh (dryrun_multichip, tests) exercises the REAL kernel + sharding
+# path without TPU hardware.
+_SHARD_CTX: dict = {"mesh": None, "axis": None, "data_axis": "data",
+                    "interpret": False}
 
 
-def enable_sharded_attention(mesh, axis: str = "model") -> None:
+def enable_sharded_attention(mesh, axis: str = "model",
+                             data_axis: str = "data",
+                             interpret: bool | None = None) -> None:
     """Route the flash kernel through shard_map over `axis` (heads) for
-    tensor-parallel meshes. Call with (None,) to disable."""
+    tensor-parallel meshes; the batch dim additionally shards over
+    `data_axis` when the mesh has one (so dp×tp activations enter without
+    an all-gather). interpret=None auto-selects interpret mode off-TPU.
+    Call with (None,) to disable."""
     _SHARD_CTX["mesh"] = mesh
     _SHARD_CTX["axis"] = axis if mesh is not None else None
+    _SHARD_CTX["data_axis"] = data_axis
+    if interpret is None:
+        interpret = mesh is not None and jax.default_backend() != "tpu"
+    _SHARD_CTX["interpret"] = interpret
 
 
-def _shard_mapped_flash(q, k, v, scale, interpret=False):
+def _shard_mapped_flash(q, k, v, scale):
     """flash attention with heads sharded over the TP axis (no collectives)."""
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
@@ -70,7 +93,11 @@ def _shard_mapped_flash(q, k, v, scale, interpret=False):
     from sd_tpu.kernels.flash_attention import flash_attention
 
     mesh, ax = _SHARD_CTX["mesh"], _SHARD_CTX["axis"]
-    spec = P(None, None, ax, None)
+    interpret = _SHARD_CTX["interpret"]
+    da = _SHARD_CTX["data_axis"]
+    batch_ax = (da if da in mesh.axis_names
+                and q.shape[0] % mesh.shape[da] == 0 else None)
+    spec = P(batch_ax, None, ax, None)
     f = shard_map(
         lambda q, k, v: flash_attention(q, k, v, scale=scale,
                                         interpret=interpret),
@@ -108,10 +135,21 @@ def dot_product_attention(
     if impl == "xla":
         return _xla_attention(q, k, v, scale)
     use_pallas = impl == "pallas" or (impl is None and _pallas_ok(q, k))
+    # interpret-mode shard ctx (virtual CPU mesh): the shape heuristics still
+    # gate which shapes take the kernel, but the backend check is bypassed so
+    # the real kernel-under-shard_map path is what gets validated.
+    if _shard_ctx_applies(q) and _SHARD_CTX["interpret"] and impl is None:
+        sq, d, skv = q.shape[1], q.shape[3], k.shape[1]
+        use_pallas = sq % 128 == 0 and d <= 256 and skv >= 512 and sq >= 512
     if use_pallas and _shard_ctx_applies(q):
         return _shard_mapped_flash(q, k, v, scale)
     if use_pallas:
         from sd_tpu.kernels.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, scale=scale)
+        # SD_TPU_FLASH_EXP=bf16 runs the (inference-only) softmax exp2 in
+        # bfloat16 — the differentiated path stays fp32 either way.
+        p_dtype = (jnp.bfloat16
+                   if os.environ.get("SD_TPU_FLASH_EXP") == "bf16"
+                   else jnp.float32)
+        return flash_attention(q, k, v, scale=scale, softmax_dtype=p_dtype)
     return _xla_attention(q, k, v, scale)

@@ -42,7 +42,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
-                  scale: float, kv_len: int, block_k: int):
+                  scale: float, kv_len: int, block_k: int,
+                  p_dtype=jnp.float32):
     """One (bh, q-tile, kv-tile) grid step of online-softmax attention.
 
     `kv_len` is the TRUE (unpadded) kv length; zero-padded kv positions in the
@@ -72,9 +73,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     m_prev = m_ref[:, :1]                                  # [block_q, 1]
     m_cur = jnp.max(s, axis=1, keepdims=True)              # [block_q, 1]
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp2(s - m_new)                                # [block_q, block_k]
+    # p_dtype=bfloat16 runs the exp2 (the VPU bottleneck at small head dims)
+    # at reduced precision; the row sum still accumulates in fp32.
+    p = jnp.exp2((s - m_new).astype(p_dtype))              # [block_q, block_k]
     corr = jnp.exp2(m_prev - m_new)                        # [block_q, 1]
-    l_new = corr * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+    l_new = corr * l_ref[:, :1] + jnp.sum(
+        p, axis=1, keepdims=True, dtype=jnp.float32)
 
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -94,6 +98,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
 def _flash_attention_bhsd(
     q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
     block_q: int, block_k: int, true_kv_len: int, interpret: bool,
+    p_dtype=jnp.float32,
 ) -> jax.Array:
     """Flash attention over [BH, S, D] tensors (already padded/aligned)."""
     bh, sq, d = q.shape
@@ -101,7 +106,8 @@ def _flash_attention_bhsd(
     grid = (bh, sq // block_q, pl.cdiv(skv, block_k))
 
     kernel = functools.partial(
-        _flash_kernel, scale=scale, kv_len=true_kv_len, block_k=block_k
+        _flash_kernel, scale=scale, kv_len=true_kv_len, block_k=block_k,
+        p_dtype=p_dtype,
     )
     return pl.pallas_call(
         kernel,
@@ -249,6 +255,7 @@ def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
 def _flash_forward(
     q: jax.Array, k: jax.Array, v: jax.Array, *,
     scale: float, block_q: int, block_k: int, interpret: bool,
+    p_dtype=jnp.float32,
 ) -> jax.Array:
     b, sq, h, d = q.shape
     skv = k.shape[1]
@@ -279,15 +286,18 @@ def _flash_forward(
         kf = jnp.pad(kf, [(0, 0), (0, skv_pad - skv), (0, 0)])
         vf = jnp.pad(vf, [(0, 0), (0, skv_pad - skv), (0, 0)])
 
-    out = _flash_attention_bhsd(qf, kf, vf, scale, bq, bk, skv, interpret)
+    out = _flash_attention_bhsd(qf, kf, vf, scale, bq, bk, skv, interpret,
+                                p_dtype)
     out = out[:, :sq]
     return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_attention_core(q, k, v, scale, block_q, block_k, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_attention_core(q, k, v, scale, block_q, block_k, interpret,
+                          p_dtype=jnp.float32):
     return _flash_forward(
-        q, k, v, scale=scale, block_q=block_q, block_k=block_k, interpret=interpret
+        q, k, v, scale=scale, block_q=block_q, block_k=block_k,
+        interpret=interpret, p_dtype=p_dtype,
     )
 
 
@@ -325,11 +335,14 @@ def _use_pallas_bwd() -> bool:
     return os.environ.get("SD_TPU_FLASH_BWD", "pallas") == "pallas"
 
 
-def _fwd(q, k, v, scale, block_q, block_k, interpret):
+def _fwd(q, k, v, scale, block_q, block_k, interpret, p_dtype=jnp.float32):
     """Forward for the VJP: same kernel family but also emits the base-2
-    row lse so the backward never re-derives the softmax normalizer."""
+    row lse so the backward never re-derives the softmax normalizer.
+    p_dtype is ignored here — the differentiated path always runs the
+    softmax in fp32 (training numerics contract)."""
     if not _use_pallas_bwd():
-        out = _flash_attention_core(q, k, v, scale, block_q, block_k, interpret)
+        out = _flash_attention_core(q, k, v, scale, block_q, block_k,
+                                    interpret)
         return out, (q, k, v, None, None)
     b, sq, h, d = q.shape
     skv = k.shape[1]
@@ -419,7 +432,7 @@ def _bwd_chunked(scale, block_q, res, g):
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-def _bwd(scale, block_q, block_k, interpret, res, g):
+def _bwd(scale, block_q, block_k, interpret, p_dtype, res, g):
     """Pallas flash backward: a dq kernel (kv innermost) and a dk/dv kernel
     (q innermost), both recomputing p from the saved base-2 lse — no S×S
     tensor is ever materialized (the dense logits are ~4 GB fp32 at the SD
@@ -519,11 +532,18 @@ def flash_attention(
     block_q: int = 2048,
     block_k: int = 1024,
     interpret: bool = False,
+    softmax_dtype=jnp.float32,
 ) -> jax.Array:
     # default blocks measured on v5e at the SD L0 shape (B8/S4096/H8/D40):
     # q256/k512 → q512/k1024 = 2.0x → q1024 +5% → q2048 +3% (fewer grid
     # steps amortize per-step overhead); see BASELINE.md kernel notes.
-    """Flash attention over q [B, Sq, H, D], k/v [B, Skv, H, D] (non-causal)."""
+    """Flash attention over q [B, Sq, H, D], k/v [B, Skv, H, D] (non-causal).
+
+    softmax_dtype: dtype the exp2 runs in (inference-only knob; the
+    differentiated path always uses fp32). bfloat16 trades ~2^-8 relative
+    probability error for VPU-exp throughput at small head dims.
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _flash_attention_core(q, k, v, float(scale), block_q, block_k, interpret)
+    return _flash_attention_core(q, k, v, float(scale), block_q, block_k,
+                                 interpret, jnp.dtype(softmax_dtype))

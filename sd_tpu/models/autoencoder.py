@@ -22,7 +22,11 @@ from flax import linen as nn
 
 from sd_tpu.core.distributions import DiagonalGaussian
 from sd_tpu.models.codec import Decoder, Encoder
-from sd_tpu.models.quantize import VectorQuantizer
+from sd_tpu.models.quantize import (
+    EMAVectorQuantizer,
+    GumbelQuantize,
+    VectorQuantizer,
+)
 
 
 class AutoencoderKL(nn.Module):
@@ -100,6 +104,14 @@ class VQModel(nn.Module):
     legacy: bool = True
     remap: str | Sequence[int] | None = None
     sane_index_shape: bool = False
+    # quantizer family: "vq" (argmin codebook), "gumbel" (GumbelQuantize —
+    # reference ldm/tamming/quantize.py:110-210), or "ema" (EMA codebook —
+    # reference :331-446). gumbel takes rng/temp at train time; ema updates
+    # its codebook through the mutable 'codebook' collection.
+    quantizer_type: str = "vq"
+    kl_weight: float = 5e-4      # gumbel only
+    temp_init: float = 1.0       # gumbel only
+    ema_decay: float = 0.99      # ema only
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -115,19 +127,43 @@ class VQModel(nn.Module):
             attn_resolutions=self.attn_resolutions, resolution=self.resolution,
             z_channels=self.embed_dim, dropout=self.dropout, dtype=self.dtype,
         )
-        self.quantize = VectorQuantizer(
-            n_e=self.n_embed, e_dim=self.embed_dim, beta=self.beta,
-            legacy=self.legacy, remap=self.remap,
-            sane_index_shape=self.sane_index_shape,
-        )
+        if self.quantizer_type == "gumbel":
+            self.quantize = GumbelQuantize(
+                n_e=self.n_embed, e_dim=self.embed_dim,
+                kl_weight=self.kl_weight, temp_init=self.temp_init,
+                remap=self.remap,
+            )
+        elif self.quantizer_type == "ema":
+            self.quantize = EMAVectorQuantizer(
+                n_e=self.n_embed, e_dim=self.embed_dim, beta=self.beta,
+                decay=self.ema_decay,
+            )
+        else:
+            self.quantize = VectorQuantizer(
+                n_e=self.n_embed, e_dim=self.embed_dim, beta=self.beta,
+                legacy=self.legacy, remap=self.remap,
+                sane_index_shape=self.sane_index_shape,
+            )
         self.quant_conv = nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype)
         self.post_quant_conv = nn.Conv(self.z_channels, (1, 1), dtype=self.dtype)
 
-    def encode(self, x: jax.Array, *, deterministic: bool = True):
+    def _quantize(self, h, *, rng=None, temp=None, update=False,
+                  deterministic=True):
+        """Family-dispatch: normalize the three quantizers' signatures."""
+        if self.quantizer_type == "gumbel":
+            return self.quantize(h, rng=rng, temp=temp,
+                                 deterministic=deterministic)
+        if self.quantizer_type == "ema":
+            return self.quantize(h, update=update)
+        return self.quantize(h)
+
+    def encode(self, x: jax.Array, *, rng=None, temp=None, update=False,
+               deterministic: bool = True):
         """Returns (z_q, emb_loss, (perplexity, _, indices))."""
         h = self.encoder(x, deterministic=deterministic)
         h = self.quant_conv(h)
-        return self.quantize(h)
+        return self._quantize(h, rng=rng, temp=temp, update=update,
+                              deterministic=deterministic)
 
     def encode_pre_quant(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         """Encode WITHOUT quantization — the VQModelInterface.encode path used
@@ -143,15 +179,17 @@ class VQModel(nn.Module):
         """Quantize a continuous latent then decode — the
         VQModelInterface.decode(force_not_quantize=False) path
         (reference: vqvae/autoencoder.py:450-468)."""
-        z_q, _, _ = self.quantize(z)
+        z_q, _, _ = self._quantize(z, deterministic=True)
         return self.decode(z_q, deterministic=deterministic)
 
     def decode_code(self, code_b: jax.Array, shape: tuple) -> jax.Array:
         z_q = self.quantize.get_codebook_entry(code_b, shape)
         return self.decode(z_q)
 
-    def __call__(self, x: jax.Array, *, deterministic: bool = True):
-        z_q, diff, info = self.encode(x, deterministic=deterministic)
+    def __call__(self, x: jax.Array, *, rng=None, temp=None, update=False,
+                 deterministic: bool = True):
+        z_q, diff, info = self.encode(
+            x, rng=rng, temp=temp, update=update, deterministic=deterministic)
         dec = self.decode(z_q, deterministic=deterministic)
         return dec, diff, info
 

@@ -144,6 +144,63 @@ def import_torch_lpips_lins(params: dict, state_dict: dict) -> dict:
     return params
 
 
+def _find_default_vgg_ckpt() -> str | None:
+    """torchvision's default download location for vgg16 weights."""
+    import glob
+    import os
+
+    hits = glob.glob(os.path.expanduser(
+        "~/.cache/torch/hub/checkpoints/vgg16-*.pth"))
+    return hits[0] if hits else None
+
+
+def make_lpips_fn(
+    image_size: int = 64,
+    vgg_ckpt: str | None = None,
+    lin_ckpt: str | None = None,
+    mode: str = "auto",
+    seed: int = 0,
+    dtype=None,
+):
+    """Build a frozen perceptual-distance closure lpips_fn(x, y) -> [B,1,1,1].
+
+    mode:
+      "calibrated" — require torch VGG16 weights (raises if none found);
+      "random"     — FIXED-SEED random VGG features + unit lin heads: a
+                     documented surrogate when the pretrained artifacts are
+                     unavailable (random-CNN perceptual distances are far
+                     closer to the calibrated metric than pixel losses —
+                     the untrained-net rows of Zhang et al. 2018, table 5);
+                     NOT the reference's calibrated loss, so runs using it
+                     log `lpips=random`;
+      "auto"       — calibrated when weights are present locally, else random;
+      "none"       — returns None (pixel-only losses).
+
+    The closure's params are constants (never in an optimizer); gradients
+    still flow through the *inputs*, which is what the GAN losses need.
+    """
+    if mode == "none":
+        return None
+    if mode == "auto":
+        vgg_ckpt = vgg_ckpt or _find_default_vgg_ckpt()
+        mode = "calibrated" if vgg_ckpt else "random"
+    if mode == "calibrated" and vgg_ckpt is None:
+        vgg_ckpt = _find_default_vgg_ckpt()
+        if vgg_ckpt is None:
+            raise FileNotFoundError(
+                "mode='calibrated' needs torchvision vgg16 weights "
+                "(vgg_ckpt=... or ~/.cache/torch/hub/checkpoints/)")
+    variables = load_lpips_params(
+        jax.random.PRNGKey(seed), image_size, vgg_ckpt, lin_ckpt)
+    model = LPIPS(dtype=dtype)
+
+    def lpips_fn(x, y):
+        return model.apply(variables, x, y)
+
+    lpips_fn.calibrated = mode == "calibrated"
+    return lpips_fn
+
+
 def load_lpips_params(
     rng: jax.Array,
     image_size: int = 64,

@@ -205,6 +205,16 @@ class GumbelQuantize(nn.Module):
         embedding = self.param(
             "embedding", nn.initializers.normal(1.0), (self.n_e, self.e_dim)
         )
+        if self.remap is not None:
+            # restrict the categorical to the "used" subset: unused logits are
+            # masked out of the softmax, the mixture sees zeros there
+            # (reference: ldm/tamming/quantize.py:180-187 slices to used rows
+            # then scatters back into full_zeros).
+            used = (np.load(self.remap) if isinstance(self.remap, str)
+                    else np.asarray(self.remap, dtype=np.int64))
+            mask = np.full((self.n_e,), -np.inf, np.float32)
+            mask[used] = 0.0
+            logits = logits + jnp.asarray(mask)
 
         if deterministic or rng is None:
             soft = jax.nn.softmax(logits / temp, axis=-1)
@@ -212,7 +222,9 @@ class GumbelQuantize(nn.Module):
             gumbel = jax.random.gumbel(rng, logits.shape, jnp.float32)
             soft = jax.nn.softmax((logits + gumbel) / temp, axis=-1)
 
-        hard = self.straight_through and not deterministic
+        # the reference forces hard quantization at eval time
+        # ("we must quantize", ldm/tamming/quantize.py:173)
+        hard = self.straight_through or deterministic
         if hard:
             idx = jnp.argmax(soft, axis=-1)
             one_hot = jax.nn.one_hot(idx, self.n_e, dtype=jnp.float32)
@@ -227,10 +239,81 @@ class GumbelQuantize(nn.Module):
 
         qy = jax.nn.softmax(logits, axis=-1)
         kl = self.kl_weight * jnp.mean(
-            jnp.sum(qy * jnp.log(qy * self.n_e + 1e-10), axis=-1)
+            jnp.sum(jnp.where(jnp.isfinite(logits),
+                              qy * jnp.log(qy * self.n_e + 1e-10), 0.0),
+                    axis=-1)
         )
         perplexity = _perplexity(idx.reshape(-1), self.n_e)
         return z_q, kl, (perplexity, None, idx.astype(jnp.int32))
+
+
+class EMAVectorQuantizer(nn.Module):
+    """EMA-codebook VQ as a Flax module: the codebook lives in a mutable
+    'codebook' variable collection (weight / cluster_size / embed_avg) and is
+    updated with Laplace-smoothed EMA when the collection is mutable and
+    `update=True` — the reference's EMAVectorQuantizer semantics
+    (ldm/tamming/quantize.py:331-446; the torch version keeps these as
+    registered buffers updated in-place during forward).
+
+    The gradient loss is the commitment term only (beta * ‖sg[z_q] − z‖²);
+    the codebook itself learns through the EMA statistics, not gradients.
+    """
+
+    n_e: int
+    e_dim: int
+    beta: float = 0.25
+    decay: float = 0.99
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, z: jax.Array, update: bool = False):
+        """z: [B, H, W, e_dim]. Returns (z_q, loss, (perplexity, None, idx)).
+
+        `update=True` (with the 'codebook' collection mutable) applies the
+        EMA codebook update as a side effect.
+        """
+        weight = self.variable(
+            "codebook", "weight",
+            lambda: jax.random.normal(self.make_rng("params"),
+                                      (self.n_e, self.e_dim), jnp.float32),
+        )
+        cluster_size = self.variable(
+            "codebook", "cluster_size", lambda: jnp.zeros((self.n_e,), jnp.float32))
+        embed_avg = self.variable(
+            "codebook", "embed_avg", lambda: weight.value.copy())
+
+        B, H, W, C = z.shape
+        assert C == self.e_dim
+        z_flat = z.reshape(-1, self.e_dim).astype(jnp.float32)
+        idx = _nearest_code(z_flat, weight.value)
+        z_q = jnp.take(weight.value, idx, axis=0).reshape(z.shape).astype(z.dtype)
+
+        loss = self.beta * jnp.mean(
+            (jax.lax.stop_gradient(z_q.astype(jnp.float32)) - z.astype(jnp.float32)) ** 2
+        )
+
+        if update and not self.is_initializing():
+            one_hot = jax.nn.one_hot(idx, self.n_e, dtype=jnp.float32)
+            counts = jnp.sum(one_hot, axis=0)
+            sums = jnp.dot(one_hot.T, z_flat, preferred_element_type=jnp.float32)
+            new_cs = cluster_size.value * self.decay + (1 - self.decay) * counts
+            new_ea = embed_avg.value * self.decay + (1 - self.decay) * sums
+            n = jnp.sum(new_cs)
+            smoothed = (new_cs + self.eps) / (n + self.n_e * self.eps) * n
+            cluster_size.value = new_cs
+            embed_avg.value = new_ea
+            weight.value = new_ea / smoothed[:, None]
+
+        z_q = z + jax.lax.stop_gradient(z_q - z)
+        perplexity = _perplexity(idx, self.n_e)
+        return z_q, loss, (perplexity, None, idx)
+
+    def get_codebook_entry(self, indices: jax.Array, shape: tuple | None = None):
+        w = self.get_variable("codebook", "weight")
+        z_q = jnp.take(w, indices.reshape(-1), axis=0)
+        if shape is not None:
+            z_q = z_q.reshape(shape)
+        return z_q
 
 
 # ---------------------------------------------------------------------------

@@ -252,34 +252,54 @@ def XEncoder(**kwargs) -> AttentionLayers:
 class TransformerWrapper(nn.Module):
     """Token + absolute-position embeddings, optional memory tokens, attention
     stack, final norm and logits/embedding head
-    (reference: x_transformer.py:548-640)."""
+    (reference: x_transformer.py:548-640).
+
+    Like the reference, the wrapper accepts a pre-configured `attn_layers`
+    stack (an AttentionLayers/XEncoder instance), so every extra — sandwich/
+    macaron layouts, scalenorm/rmsnorm/rezero, talking heads, sparse-topk,
+    memory-kv, GRU residual gating — is reachable from the wrapper
+    (reference: x_transformer.py:551 asserts isinstance(attn_layers,
+    AttentionLayers)). When `attn_layers` is None, a plain stack is built
+    from (dim, depth, heads, causal).
+    """
 
     num_tokens: int
     max_seq_len: int
-    dim: int
-    depth: int
+    dim: int | None = None
+    depth: int | None = None
     heads: int = 8
     num_memory_tokens: int = 0
     emb_dropout: float = 0.0
     return_embeddings: bool = True
     causal: bool = False
+    attn_layers: AttentionLayers | None = None
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, tokens: jax.Array, mask: jax.Array | None = None, *,
                  deterministic: bool = True,
                  return_logits: bool | None = None) -> jax.Array:
+        layers = self.attn_layers
+        if layers is None:
+            assert self.dim is not None and self.depth is not None, (
+                "TransformerWrapper needs either attn_layers or (dim, depth)")
+            layers = AttentionLayers(
+                dim=self.dim, depth=self.depth, heads=self.heads,
+                causal=self.causal, dtype=self.dtype, name="attn_layers",
+            )
+        dim = layers.dim
+
         B, L = tokens.shape
-        x = nn.Embed(self.num_tokens, self.dim, dtype=self.dtype,
+        x = nn.Embed(self.num_tokens, dim, dtype=self.dtype,
                      name="token_emb")(tokens)
         pos = self.param("pos_emb", nn.initializers.normal(0.02),
-                         (self.max_seq_len, self.dim))
+                         (self.max_seq_len, dim))
         x = x + pos[None, :L].astype(x.dtype)
         x = nn.Dropout(self.emb_dropout)(x, deterministic=deterministic)
 
         if self.num_memory_tokens > 0:
             mem = self.param("memory_tokens", nn.initializers.normal(0.02),
-                             (self.num_memory_tokens, self.dim))
+                             (self.num_memory_tokens, dim))
             x = jnp.concatenate(
                 [jnp.broadcast_to(mem[None], (B, *mem.shape)).astype(x.dtype), x],
                 axis=1,
@@ -289,10 +309,7 @@ class TransformerWrapper(nn.Module):
                     [jnp.ones((B, self.num_memory_tokens), bool), mask], axis=1
                 )
 
-        x = AttentionLayers(
-            dim=self.dim, depth=self.depth, heads=self.heads, causal=self.causal,
-            dtype=self.dtype, name="attn_layers",
-        )(x, mask=mask, deterministic=deterministic)
+        x = layers(x, mask=mask, deterministic=deterministic)
         x = LayerNorm32(name="norm")(x)
 
         if self.num_memory_tokens > 0:

@@ -136,8 +136,15 @@ def make_parallel_train_step(
 ):
     """jit a (state, batch, rng) -> (state, logs) step with explicit
     shardings: state as given, batch sharded on `data_axis`, rng replicated,
-    logs replicated. XLA inserts the psum for gradient sync."""
-    batch_sharding = None  # infer from args at call time via shard_batch
+    logs replicated. XLA inserts the psum for gradient sync.
+
+    When the mesh has a "model" axis, the Pallas flash-attention kernel is
+    routed through shard_map over heads (GSPMD cannot partition a
+    pallas_call), so tensor-parallel UNets keep the flash path."""
+    if "model" in mesh.axis_names:
+        from sd_tpu.kernels.attention import enable_sharded_attention
+
+        enable_sharded_attention(mesh, "model", data_axis)
 
     def batch_spec(x):
         return NamedSharding(
@@ -175,6 +182,87 @@ def make_parallel_train_step(
         return cache[key](state, batch, rng)
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# ZeRO-style optimizer/EMA state sharding over the data axis
+# ---------------------------------------------------------------------------
+
+
+def zero_param_like_sharding(
+    params: PyTree,
+    mesh: Mesh,
+    data_axis: str = "data",
+    tp_rules: list[tuple[str, P]] | None = None,
+) -> PyTree:
+    """Shardings for param-shaped state (Adam mu/nu, EMA shadows): each leaf
+    keeps any tensor-parallel placement its parameter has AND additionally
+    shards its largest remaining divisible dimension over `data_axis`
+    (ZeRO-1: optimizer state partitioned across data-parallel workers, so it
+    no longer replicates — removes the fp32 Adam+EMA HBM squeeze documented
+    in BASELINE.md). Leaves with no divisible free dim stay as the param
+    sharding (biases etc. — negligible bytes)."""
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_data = axis_sizes.get(data_axis, 1)
+    base = infer_param_sharding(params, mesh, tp_rules or [])
+
+    def widen(leaf, sh):
+        if n_data <= 1 or leaf.ndim == 0:
+            return sh
+        spec = list(tuple(sh.spec) + (None,) * (leaf.ndim - len(sh.spec)))
+        # largest dim not already sharded and divisible by the data size
+        cand = [i for i in range(leaf.ndim)
+                if spec[i] is None and leaf.shape[i] % n_data == 0]
+        if not cand:
+            return sh
+        i = max(cand, key=lambda i: leaf.shape[i])
+        spec[i] = data_axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(widen, params, base)
+
+
+def zero_state_sharding(
+    state,
+    mesh: Mesh,
+    data_axis: str = "data",
+    tp_rules: list[tuple[str, P]] | None = None,
+):
+    """Sharding tree for a TrainState: params keep their (TP or replicated)
+    layout; Adam mu/nu and the EMA shadow are ZeRO-sharded over `data_axis`;
+    scalars replicate. Returns a TrainState-of-NamedShardings usable as
+    make_parallel_train_step's state_sharding."""
+    import dataclasses as _dc
+
+    import optax
+
+    p_shard = infer_param_sharding(state.params, mesh, tp_rules or [])
+    z_shard = zero_param_like_sharding(state.params, mesh, data_axis, tp_rules)
+    rep = replicated(mesh)
+
+    def fix_opt(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(count=rep, mu=z_shard, nu=z_shard)
+        return node
+
+    opt_shard = jax.tree.map(
+        fix_opt, state.opt_state,
+        is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState),
+    )
+    # any remaining array leaves in the opt state (clip state etc.) replicate
+    opt_shard = jax.tree.map(
+        lambda n: n if isinstance(n, NamedSharding) else rep, opt_shard)
+    ema_shard = (
+        _dc.replace(state.ema, shadow=z_shard, num_updates=rep)
+        if getattr(state, "ema", None) is not None else None
+    )
+    kw = {}
+    if getattr(state, "logvar", None) is not None:
+        kw["logvar"] = rep
+    return _dc.replace(
+        state, params=p_shard, opt_state=opt_shard, ema=ema_shard,
+        step=rep, **kw,
+    )
 
 
 def spatial_sharding(mesh: Mesh, ndim: int = 4, data_axis: str = "data",

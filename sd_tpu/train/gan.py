@@ -44,6 +44,10 @@ class GanTrainState:
     opt_state_g: PyTree
     opt_state_d: PyTree
     step: jax.Array           # int32 scalar
+    # non-gradient generator state (e.g. the EMA-VQ 'codebook' collection —
+    # reference ldm/tamming/quantize.py:331-446 keeps these as torch buffers);
+    # {} for models without mutable collections.
+    model_state: PyTree = dataclasses.field(default_factory=dict)
 
 
 def _get_path(tree: PyTree, path: Sequence[str]):
@@ -66,6 +70,7 @@ def init_gan_state(
     opt_g: optax.GradientTransformation,
     opt_d: optax.GradientTransformation,
     logvar_init: float = 0.0,
+    model_state: PyTree | None = None,
 ) -> GanTrainState:
     params_g = {
         "model": model_params,
@@ -80,6 +85,7 @@ def init_gan_state(
         opt_state_g=opt_g.init(params_g),
         opt_state_d=opt_d.init(params_d),
         step=jnp.asarray(0, jnp.int32),
+        model_state=model_state if model_state is not None else {},
     )
 
 
@@ -203,15 +209,32 @@ def make_vq_gan_train_step(
     opt_d: optax.GradientTransformation,
     cfg: GanLossConfig,
     last_layer_path: Sequence[str] = ("decoder", "conv_out", "kernel"),
+    stateful: bool = False,
+    temp_fn: Callable[[jax.Array], jax.Array] | None = None,
 ):
     """Build the jitted VQ-VAE GAN step
     (reference: vqvae/autoencoder.py:158-214 + vqvae/vqlpips.py:96-183).
 
-    vq_apply(model_params, x) -> (recon, codebook_loss, info).
+    vq_apply(model_params, x) -> (recon, codebook_loss, info), or with
+    `stateful=True` the extended contract for Gumbel/EMA quantizers:
+    vq_apply(model_params, model_state, x, rng, temp, update)
+        -> (recon, codebook_loss, info, new_model_state)
+    where `update=True` only in the generator pass (the EMA codebook update
+    runs once per step, never inside the adaptive-weight vjp), `rng` drives
+    the gumbel noise, and `temp` comes from `temp_fn(step)` (the taming
+    temperature scheduler).
+
     VQ nll is the MEAN of the rec map (the taming convention), and the
     codebook loss enters as `codebook_weight * codebook_loss`.
     """
     d_loss_fn = cfg.d_loss_fn()
+
+    if stateful:
+        canon_apply = vq_apply
+    else:
+        def canon_apply(p, model_state, x, rng, temp, update):
+            recon, cb_loss, info = vq_apply(p, x)
+            return recon, cb_loss, info, model_state
 
     def losses_from_recon(x, recon, logvar, params_d, batch_stats_d):
         perceptual = lpips_fn(x, recon) if lpips_fn is not None else None
@@ -225,14 +248,17 @@ def make_vq_gan_train_step(
         return nll_loss, g_loss, jnp.mean(rec)
 
     def train_step(state: GanTrainState, x: jax.Array, rng: jax.Array):
-        del rng  # VQ forward is deterministic
+        rng_q = jax.random.fold_in(rng, state.step)  # gumbel noise (if any)
+        temp = temp_fn(state.step) if temp_fn is not None else None
+
         if cfg.use_adaptive_weight:
             model_params = state.params_g["model"]
             last_kernel = _get_path(model_params, last_layer_path)
 
             def nll_and_g(k):
                 p = _set_path(model_params, last_layer_path, k)
-                recon, _, _ = vq_apply(p, x)
+                recon, _, _, _ = canon_apply(
+                    p, state.model_state, x, rng_q, temp, False)
                 nll, g, _ = losses_from_recon(
                     x, recon, state.params_g["logvar"],
                     state.params_d, state.batch_stats_d,
@@ -249,7 +275,8 @@ def make_vq_gan_train_step(
         disc_factor = adopt_weight(cfg.disc_factor, state.step, cfg.disc_start)
 
         def g_loss_total(params_g):
-            recon, codebook_loss, info = vq_apply(params_g["model"], x)
+            recon, codebook_loss, info, new_mstate = canon_apply(
+                params_g["model"], state.model_state, x, rng_q, temp, True)
             nll, g, rec = losses_from_recon(
                 x, recon, params_g["logvar"], state.params_d, state.batch_stats_d
             )
@@ -260,7 +287,8 @@ def make_vq_gan_train_step(
             )
             aux = dict(total_loss=loss, nll_loss=nll, quant_loss=codebook_loss,
                        g_loss=g, rec_loss=rec, d_weight=d_weight,
-                       disc_factor=disc_factor, perplexity=info[0], recon=recon)
+                       disc_factor=disc_factor, perplexity=info[0], recon=recon,
+                       model_state=new_mstate)
             return loss, aux
 
         (_, aux), grads_g = jax.value_and_grad(g_loss_total, has_aux=True)(
@@ -269,6 +297,7 @@ def make_vq_gan_train_step(
         updates_g, opt_state_g = opt_g.update(grads_g, state.opt_state_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, updates_g)
         recon = jax.lax.stop_gradient(aux.pop("recon"))
+        model_state = jax.lax.stop_gradient(aux.pop("model_state"))
 
         def d_loss_total(params_d):
             logits_real, stats = _disc_apply(disc, params_d, state.batch_stats_d, x)
@@ -293,11 +322,25 @@ def make_vq_gan_train_step(
         new_state = GanTrainState(
             params_g=params_g, params_d=params_d, batch_stats_d=stats,
             opt_state_g=opt_state_g, opt_state_d=opt_state_d,
-            step=state.step + 1,
+            step=state.step + 1, model_state=model_state,
         )
         return new_state, logs
 
     return jax.jit(train_step)
+
+
+def gumbel_temp_schedule(temp_init: float = 1.0, temp_min: float = 1e-6,
+                         anneal_rate: float = 1e-5):
+    """Exponential Gumbel temperature annealing (the taming
+    temperature_scheduler convention): temp(step) = max(min, init·e^{-r·step})."""
+
+    def fn(step):
+        return jnp.maximum(
+            jnp.float32(temp_min),
+            jnp.float32(temp_init) * jnp.exp(-anneal_rate * step.astype(jnp.float32)),
+        )
+
+    return fn
 
 
 def gan_adam(lr: float, b1: float = 0.5, b2: float = 0.9) -> optax.GradientTransformation:

@@ -40,6 +40,28 @@ from sd_tpu.train.gan import (
 from sd_tpu.train.metrics import MetricsLogger, count_params, save_image_grid
 
 
+def _resolve_lpips(lpips_fn, loss_cfg, mode: str, tag: str):
+    """Perceptual-term resolution for the GAN trainers
+    (reference loss: VAE/loss.py:78-102, vqvae/vqlpips.py:96-145).
+
+    An explicitly-passed lpips_fn wins. Otherwise `loss.perceptual` in the
+    config picks: auto (calibrated when torch VGG16 weights exist locally,
+    else the fixed-seed random-VGG surrogate) / calibrated / random / none.
+    """
+    if lpips_fn is not None or loss_cfg.perceptual_weight <= 0:
+        return lpips_fn
+    from sd_tpu.models.lpips import make_lpips_fn
+
+    fn = make_lpips_fn(mode=mode)
+    if fn is not None:
+        kind = "calibrated" if fn.calibrated else "random-VGG surrogate"
+        print(f"[{tag}] perceptual loss: {kind} LPIPS "
+              f"(weight={loss_cfg.perceptual_weight})")
+    else:
+        print(f"[{tag}] perceptual loss disabled (perceptual: none)")
+    return fn
+
+
 def _make_lr(train_cfg: dict):
     lr = train_cfg.get("lr", 1e-4)
     sched = train_cfg.get("lr_schedule")
@@ -123,11 +145,12 @@ def train_kl_vae(config: dict | str, data_dir: str, out_dir: str = "runs/klvae",
 
     vae = instantiate_from_config(cfg["model"])
     disc = NLayerDiscriminator(**cfg.get("discriminator", {}))
-    loss_cfg = GanLossConfig(**cfg.get("loss", {}))
+    loss_kwargs = dict(cfg.get("loss", {}))
+    lpips_mode = loss_kwargs.pop("perceptual", "auto")
+    loss_cfg = GanLossConfig(**loss_kwargs)
+    lpips_fn = _resolve_lpips(lpips_fn, loss_cfg, lpips_mode, "kl-vae")
     if lpips_fn is None and loss_cfg.perceptual_weight > 0:
-        loss_cfg = GanLossConfig(
-            **{**cfg.get("loss", {}), "perceptual_weight": 0.0}
-        )  # no LPIPS weights available → pixel-only (documented fallback)
+        loss_cfg = GanLossConfig(**{**loss_kwargs, "perceptual_weight": 0.0})
 
     size = tc.get("image_size", 256)
     dummy = jnp.zeros((1, size, size, 3))
@@ -153,7 +176,15 @@ def train_kl_vae(config: dict | str, data_dir: str, out_dir: str = "runs/klvae",
 
 def train_vq(config: dict | str, data_dir: str, out_dir: str = "runs/vq",
              max_steps: int | None = None, lpips_fn=None) -> Any:
-    """Capability #4: VQ-VAE with VQ-LPIPS-GAN loss."""
+    """Capability #4: VQ-VAE with VQ-LPIPS-GAN loss.
+
+    Supports all three quantizer families via model.params.quantizer_type:
+    "vq" (argmin codebook), "gumbel" (GumbelQuantize with annealed
+    temperature — reference ldm/tamming/quantize.py:110-210), and "ema"
+    (EMA codebook updated as non-gradient state — reference :331-446).
+    """
+    from sd_tpu.train.gan import gumbel_temp_schedule
+
     cfg = load_yaml(config) if isinstance(config, str) else config
     tc = cfg["train"]
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
@@ -161,24 +192,50 @@ def train_vq(config: dict | str, data_dir: str, out_dir: str = "runs/vq",
     vq = instantiate_from_config(cfg["model"])
     disc = NLayerDiscriminator(**cfg.get("discriminator", {}))
     loss_kwargs = dict(cfg.get("loss", {}))
-    if lpips_fn is None:
-        loss_kwargs["perceptual_weight"] = 0.0
+    lpips_mode = loss_kwargs.pop("perceptual", "auto")
     loss_cfg = GanLossConfig(**loss_kwargs)
+    lpips_fn = _resolve_lpips(lpips_fn, loss_cfg, lpips_mode, "vq")
+    if lpips_fn is None and loss_cfg.perceptual_weight > 0:
+        loss_kwargs["perceptual_weight"] = 0.0
+        loss_cfg = GanLossConfig(**loss_kwargs)
 
     size = tc.get("image_size", 256)
     dummy = jnp.zeros((1, size, size, 3))
-    vparams = vq.init(rng, dummy)["params"]
+    variables = vq.init(rng, dummy)
+    vparams = variables["params"]
+    mstate = {k: v for k, v in variables.items() if k != "params"}
     dvars = disc.init(rng, dummy)
     print(f"[vq] params: {count_params(vparams)/1e6:.1f}M")
 
     opt_g = gan_adam(tc.get("lr", 4.5e-6))
     opt_d = gan_adam(tc.get("lr", 4.5e-6))
-    state = init_gan_state(vparams, dvars, opt_g, opt_d)
+    state = init_gan_state(vparams, dvars, opt_g, opt_d, model_state=mstate)
     state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
 
-    vq_apply = lambda p, x: vq.apply({"params": p}, x)
-    step_fn = make_vq_gan_train_step(vq_apply, disc, lpips_fn, opt_g, opt_d,
-                                     loss_cfg)
+    qt = getattr(vq, "quantizer_type", "vq")
+    if qt in ("gumbel", "ema"):
+        def vq_apply(p, ms, x, rng, temp, update):
+            vs = {"params": p, **ms}
+            kw = dict(rng=rng, temp=temp, deterministic=False)
+            if update and "codebook" in ms:
+                out, mut = vq.apply(vs, x, update=True, mutable=["codebook"],
+                                    **kw)
+                return (*out, {**ms, "codebook": mut["codebook"]})
+            out = vq.apply(vs, x, update=False, **kw)
+            return (*out, ms)
+
+        temp_fn = None
+        if qt == "gumbel":
+            temp_fn = gumbel_temp_schedule(
+                temp_init=getattr(vq, "temp_init", 1.0),
+                **cfg.get("gumbel_schedule", {}))
+        step_fn = make_vq_gan_train_step(vq_apply, disc, lpips_fn, opt_g,
+                                         opt_d, loss_cfg, stateful=True,
+                                         temp_fn=temp_fn)
+    else:
+        vq_apply = lambda p, x: vq.apply({"params": p}, x)
+        step_fn = make_vq_gan_train_step(vq_apply, disc, lpips_fn, opt_g,
+                                         opt_d, loss_cfg)
     state = _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
               max_steps=max_steps)
     return state
@@ -228,7 +285,17 @@ def build_ldm(cfg: dict, rng: jax.Array):
 
 def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
               max_steps: int | None = None) -> Any:
-    """Capability #5: text-conditioned latent diffusion training."""
+    """Capability #5: text-conditioned latent diffusion training.
+
+    cond_stage.trainable=true fine-tunes the text encoder jointly with the
+    UNet — the reference's cond_stage_trainable path, where
+    configure_optimizers adds cond_stage_model.parameters() to the AdamW
+    param list (reference: ldm/diffusion/ddpm.py:1942-1972). Tokenization
+    stays on host; the text tower runs inside the jitted loss so its
+    gradients flow.
+    """
+    import dataclasses as _dc
+
     cfg = load_yaml(config) if isinstance(config, str) else config
     tc = cfg["train"]
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
@@ -236,25 +303,57 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
     ld, unet, uparams, vae, vparams, clip = build_ldm(cfg, rng)
     print(f"[ldm] unet params: {count_params(uparams)/1e6:.1f}M")
 
+    cond_trainable = bool(
+        cfg.get("cond_stage", {}).get("trainable",
+                                      tc.get("cond_stage_trainable", False)))
+
     opt = ddpm_optimizer(_make_lr(tc), tc.get("grad_clip", 1.0),
                          weight_decay=tc.get("weight_decay", 0.0))
     learn_logvar = tc.get("learn_logvar", False)
+
+    if cond_trainable:
+        # optimizer tree = {unet, cond}; note the EMA shadows BOTH subtrees
+        # (the reference's LitEma wraps only the UNet — divergence recorded
+        # in COMPAT.md; affects only eval-time conditioning during warm-up).
+        train_params = {"unet": uparams, "cond": clip.params}
+        ld = _dc.replace(
+            ld,
+            unet_apply=lambda p, x, t, ctx, y=None: unet.apply(
+                {"params": p["unet"]}, x, t, ctx, y),
+            cond_stage_trainable=True,
+        )
+        print(f"[ldm] cond-stage params in optimizer: "
+              f"{count_params(clip.params)/1e6:.1f}M")
+
+        def loss_fn(p, batch, rng, logvar):
+            emb = clip.model.apply({"params": p["cond"]}, batch["txt_ids"])
+            return ld.training_loss(
+                p, {**batch, "txt_emb": emb}, rng, learned_logvar=logvar)
+
+        def embed_batch(batch):
+            texts = batch.get("txt_raw", [""] * len(batch["image"]))
+            ids = clip.tokenize(list(texts))
+            return {"image": jnp.asarray(batch["image"]),
+                    "txt_ids": jnp.asarray(ids)}
+    else:
+        train_params = uparams
+
+        def loss_fn(p, batch, rng, logvar):
+            return ld.training_loss(p, batch, rng, learned_logvar=logvar)
+
+        def embed_batch(batch):
+            out = {"image": jnp.asarray(batch["image"])}
+            texts = batch.get("txt_raw", [""] * len(batch["image"]))
+            out["txt_emb"] = clip(texts)
+            return out
+
     state = init_train_state(
-        uparams, opt, tc.get("ema_decay", 0.9999),
+        train_params, opt, tc.get("ema_decay", 0.9999),
         num_timesteps=ld.schedule.num_timesteps, learn_logvar=learn_logvar,
     )
     state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
 
-    def loss_fn(p, batch, rng, logvar):
-        return ld.training_loss(p, batch, rng, learned_logvar=logvar)
-
     step_fn = make_diffusion_train_step(loss_fn, opt, learn_logvar=learn_logvar)
-
-    def embed_batch(batch):
-        out = {"image": jnp.asarray(batch["image"])}
-        texts = batch.get("txt_raw", [""] * len(batch["image"]))
-        out["txt_emb"] = clip(texts)
-        return out
 
     state = _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
               max_steps=max_steps, batch_transform=embed_batch)

@@ -152,3 +152,28 @@ def test_transformer_wrapper_memory_tokens(rng):
     assert out.shape == (2, 8, 16)  # memory tokens stripped
     logits = m.apply(params, tokens, return_logits=True)
     assert logits.shape == (2, 8, 50)
+
+
+def test_transformer_wrapper_custom_attn_layers(rng):
+    """The wrapper accepts a pre-configured AttentionLayers stack, so the
+    extras (sandwich, rezero, talking heads, sparse topk, mem-kv, GRU gates)
+    are reachable from the wrapper — reference x_transformer.py:548-640 takes
+    an attn_layers object."""
+    layers = AttentionLayers(
+        dim=16, depth=3, heads=2, dim_head=8, sandwich_coef=1,
+        use_rezero=True, talking_heads=True, sparse_topk=4, num_mem_kv=2,
+        gate_residual=True,
+    )
+    m = TransformerWrapper(num_tokens=50, max_seq_len=8,
+                           attn_layers=layers, num_memory_tokens=2)
+    tokens = jnp.zeros((2, 8), jnp.int32)
+    params = m.init(rng, tokens)
+    out = m.apply(params, tokens)
+    assert out.shape == (2, 8, 16)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    names = {"/".join(str(k) for k in path) for path, _ in flat}
+    # the extras' params actually exist under the wrapper's attn stack
+    assert any("rezero" in n for n in names)
+    assert any("pre_softmax_proj" in n for n in names)
+    assert any("mem_k" in n for n in names)
+    assert any("gate" in n for n in names)

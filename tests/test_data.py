@@ -154,3 +154,59 @@ def test_degradation_bsrgan_output_size():
     assert lq2.shape == (32, 32, 3)
     lq3, _ = degradation_bsrgan(img, sf=4, rng=rng, light=True)
     assert lq3.shape == (16, 16, 3)
+
+
+def test_named_degradation_models():
+    """bicubic / srmd / dpsr / classical single-degradation modes
+    (reference: image_degradation/bsrgan.py:228-296): output sizes, ranges,
+    and the srmd-vs-dpsr order actually matters."""
+    from sd_tpu.data.degradation import (bicubic_degradation,
+                                         classical_degradation,
+                                         dpsr_degradation, gaussian_kernel_2d,
+                                         srmd_degradation)
+
+    rng = np.random.default_rng(0)
+    img = rng.random((48, 48, 3)).astype(np.float32)
+    k = gaussian_kernel_2d(15, 1.5)
+
+    for fn in (lambda x: bicubic_degradation(x, 3),
+               lambda x: srmd_degradation(x, k, 3),
+               lambda x: dpsr_degradation(x, k, 3),
+               lambda x: classical_degradation(x, k, 3)):
+        out = fn(img)
+        assert out.shape == (16, 16, 3)
+        assert out.dtype == np.float32
+        assert 0.0 <= out.min() and out.max() <= 1.0 + 1e-6
+
+    # blur-then-down != down-then-blur
+    a = srmd_degradation(img, k, 3)
+    b = dpsr_degradation(img, k, 3)
+    assert np.abs(a - b).max() > 1e-3
+
+
+def test_degradation_bsrgan_variant():
+    """The paper-variant composite (reference: bsrgan.py:530-613) hits the
+    target size for every seed and stays in range."""
+    from sd_tpu.data.degradation import degradation_bsrgan_variant
+
+    img = np.random.default_rng(1).random((64, 64, 3)).astype(np.float32)
+    for seed in range(6):
+        lq, hq = degradation_bsrgan_variant(img, sf=4,
+                                            rng=np.random.default_rng(seed))
+        assert lq.shape == (16, 16, 3)
+        assert hq.shape == (64, 64, 3)
+        assert 0.0 <= lq.min() and lq.max() <= 1.0 + 1e-6
+
+
+def test_add_sharpening():
+    """USM sharpening (reference: bsrgan.py:299-322) amplifies edges but
+    keeps range and shape."""
+    from sd_tpu.data.degradation import add_sharpening
+
+    img = np.zeros((32, 32, 3), np.float32)
+    img[:, 16:] = 1.0  # hard vertical edge
+    out = add_sharpening(img, weight=0.5, radius=7, threshold=10)
+    assert out.shape == img.shape
+    assert 0.0 <= out.min() and out.max() <= 1.0 + 1e-6
+    # local contrast across the edge does not decrease
+    assert (out[:, 17] - out[:, 14]).mean() >= (img[:, 17] - img[:, 14]).mean() - 1e-6

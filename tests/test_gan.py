@@ -186,3 +186,57 @@ def test_gan_step_disc_gated_before_start(rng):
     state, logs = step(state, x, jax.random.PRNGKey(0))
     assert float(logs["train/disc_factor"]) == 0.0
     assert float(logs["train/disc_loss"]) == 0.0
+
+
+def test_make_lpips_fn_random_surrogate():
+    """Without calibrated artifacts, make_lpips_fn(mode='auto'|'random') gives
+    a frozen fixed-seed perceptual distance: zero at identity, positive and
+    input-differentiable otherwise (the documented surrogate for the
+    reference's pretrained LPIPS, Lpips/lpips.py:131-231)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sd_tpu.models.lpips import make_lpips_fn
+
+    fn = make_lpips_fn(mode="random", image_size=32)
+    assert fn is not None and fn.calibrated is False
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3)) * 0.5
+    y = jnp.clip(x + 0.3, -1, 1)
+    d_same = fn(x, x)
+    d_diff = fn(x, y)
+    assert d_same.shape == (2, 1, 1, 1)
+    assert float(jnp.abs(d_same).max()) < 1e-5
+    assert float(d_diff.min()) > 0.0
+    g = jax.grad(lambda a: jnp.sum(fn(a, y)))(x)
+    assert float(jnp.abs(g).max()) > 0.0
+    # deterministic across constructions (fixed seed)
+    fn2 = make_lpips_fn(mode="random", image_size=32)
+    assert float(jnp.abs(fn2(x, y) - d_diff).max()) < 1e-6
+    assert make_lpips_fn(mode="none") is None
+
+
+def test_kl_gan_step_with_random_lpips(tmp_path):
+    """The perceptual term actually flows through the KL-GAN step when the
+    random-VGG surrogate is active (previously silently dropped)."""
+    import numpy as np
+    from PIL import Image
+
+    from sd_tpu.core.config import load_yaml
+    from sd_tpu.train.runners import train_kl_vae
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        ).save(d / f"{i}.png")
+
+    cfg = load_yaml("configs/kl_smoke.yaml")
+    cfg["train"]["total_steps"] = 1
+    cfg["train"]["checkpoint_every"] = 1
+    cfg["train"]["eval_every"] = 100  # skip the eval sampler in this smoke
+    cfg["loss"]["perceptual_weight"] = 1.0
+    cfg["loss"]["perceptual"] = "random"
+    state = train_kl_vae(cfg, str(d), out_dir=str(tmp_path / "run"))
+    assert int(state.step) == 1

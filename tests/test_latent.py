@@ -182,3 +182,55 @@ def test_patched_apply_identity_and_scale():
     out2 = patched_apply(up, x, ks=4, stride=4, scale=2)
     assert out2.shape == (1, 16, 16, 2)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(up(x)), rtol=1e-5)
+
+
+def test_patched_apply_bbox():
+    """coordinates_bbox patched apply: every patch is re-conditioned on its
+    own tokenized crop box (reference: ldm/diffusion/ddpm.py:1372-1419).
+    Oracle: per-patch loop with the same toy model."""
+    from sd_tpu.diffusion.latent import (bbox_patch_limits, patched_apply_bbox)
+
+    # per-sample toy model (the default make_ld unet takes a GLOBAL context
+    # mean, which differs between the batched-all-patches form and the
+    # per-patch oracle)
+    def unet_apply(params, x, t, context, y=None):
+        shift = jnp.mean(context, axis=(1, 2)).reshape(-1, 1, 1, 1)
+        return params["w"] * x + shift
+
+    ld = make_ld(unet_apply=unet_apply)
+    B, H, W, C = 2, 8, 8, 3
+    ks, stride = 4, 4
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, H, W, C)),
+                    jnp.float32)
+    t = jnp.array([3, 7])
+    cond_tokens = jnp.arange(2 * 6, dtype=jnp.int32).reshape(2, 6)
+
+    # toy pieces: crop box -> 2 int tokens; tokens -> [N, M, D] embeddings
+    def crop_encoder(box):
+        return [int(box[0] * 100), int(box[1] * 100)]
+
+    def encode_tokens(ids):
+        return ids[:, :, None].astype(jnp.float32) * 0.01  # [N, n, 1]
+
+    out = patched_apply_bbox(
+        ld, PARAMS, x, t, cond_tokens, ks=ks, stride=stride,
+        original_image_size=(64, 64), rescale_latent=8,
+        crop_encoder=crop_encoder, encode_tokens=encode_tokens)
+    assert out.shape == x.shape
+
+    # oracle: loop over patches, same conditioning construction
+    limits = bbox_patch_limits((H, W), ks, stride, (64, 64), 8)
+    n_row = (W - ks) // stride + 1
+    expected = np.zeros((B, H, W, C), np.float32)
+    for pn, box in enumerate(limits):
+        ih, iw = pn // n_row, pn % n_row
+        patch = x[:, ih * stride:ih * stride + ks, iw * stride:iw * stride + ks]
+        coord = jnp.asarray(crop_encoder(box), jnp.int32)
+        adapted = jnp.concatenate(
+            [cond_tokens[:, :-2], jnp.broadcast_to(coord[None], (B, 2))], -1)
+        ctx = encode_tokens(adapted)
+        o = ld.apply_model(PARAMS, patch, t, {"c_crossattn": [ctx]})
+        expected[:, ih * stride:ih * stride + ks,
+                 iw * stride:iw * stride + ks] += np.asarray(o)
+    # stride == ks: non-overlapping, weights cancel in the fold
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-5)

@@ -153,3 +153,38 @@ def test_basic_transformer_block(rng):
     ctx = jax.random.normal(rng, (2, 77, 768))
     out, _ = init_apply(BasicTransformerBlock(heads=4, dim_head=16), rng, x, ctx)
     assert out.shape == x.shape
+
+
+def test_upsample_conv_subpixel_weight_exact(rng):
+    """The four-phase subpixel form of nearest×2 + SAME 3×3 conv is
+    weight-exact vs the naive computation (sd_tpu/nn/updown.py
+    upsample_conv_2x; reference op: Unet/unet.py Upsample)."""
+    import numpy as np
+
+    from sd_tpu.nn.updown import (Upsample, nearest_upsample_2x,
+                                  upsample_conv_2x)
+
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(size=(2, 7, 9, 5)).astype(np.float32))
+    w = jnp.asarray(r.normal(size=(3, 3, 5, 6)).astype(np.float32))
+    b = jnp.asarray(r.normal(size=(6,)).astype(np.float32))
+
+    u = nearest_upsample_2x(x)
+    ref = jax.lax.conv_general_dilated(
+        u, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    got = upsample_conv_2x(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+    # module path: same param tree as a plain nn.Conv ("conv"/{kernel,bias})
+    m = Upsample(out_channels=6)
+    params = m.init(rng, x)
+    assert set(params["params"]["conv"].keys()) == {"kernel", "bias"}
+    y = m.apply(params, x)
+    ref_m = jax.lax.conv_general_dilated(
+        u, params["params"]["conv"]["kernel"], (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + params["params"]["conv"]["bias"]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref_m),
+                               atol=2e-5, rtol=1e-5)

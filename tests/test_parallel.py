@@ -164,11 +164,77 @@ def test_shard_mapped_flash_attention(rng):
     scale = D ** -0.5
 
     ref = flash_attention(q, k, v, scale=scale, interpret=True)
-    enable_sharded_attention(mesh, "model")
+    enable_sharded_attention(mesh, "model")  # off-TPU → interpret auto-on
     try:
-        out = _shard_mapped_flash(q, k, v, scale, interpret=True)
+        assert _SHARD_CTX["interpret"] is True
+        out = _shard_mapped_flash(q, k, v, scale)
     finally:
         enable_sharded_attention(None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-4)
     assert _SHARD_CTX["mesh"] is None  # disabled again
+
+
+def test_zero_state_sharding(rng):
+    """ZeRO-1: Adam mu/nu and EMA shadows shard over the data axis (params
+    stay replicated/TP) and the sharded step matches the replicated step."""
+    import dataclasses
+
+    import optax
+
+    from sd_tpu.parallel.mesh import zero_state_sharding
+    from sd_tpu.train.diffusion import (ddpm_optimizer, init_train_state,
+                                        make_diffusion_train_step)
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    params = {
+        "dense": {"kernel": jax.random.normal(rng, (16, 32)),
+                  "bias": jnp.zeros((32,))},
+        "to_q": {"kernel": jax.random.normal(jax.random.PRNGKey(1), (16, 16))},
+    }
+    opt = ddpm_optimizer(1e-2)
+    state = init_train_state(params, opt, ema_decay=0.99)
+    sh = zero_state_sharding(state, mesh, tp_rules=TP_RULES_UNET)
+
+    # mu/nu large leaves carry the data axis; params do not
+    adam = [n for n in jax.tree.leaves(
+        sh.opt_state, is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState))
+        if isinstance(n, optax.ScaleByAdamState)][0]
+    assert "data" in jax.tree.leaves(
+        adam.mu, is_leaf=lambda x: isinstance(x, jax.sharding.NamedSharding)
+    )[0].spec
+    assert all(
+        "data" not in (s.spec if s.spec else ())
+        for s in jax.tree.leaves(
+            sh.params,
+            is_leaf=lambda x: isinstance(x, jax.sharding.NamedSharding))
+    )
+    # EMA shadow ZeRO-sharded too
+    ema_sh = jax.tree.leaves(
+        sh.ema.shadow,
+        is_leaf=lambda x: isinstance(x, jax.sharding.NamedSharding))
+    assert any("data" in (s.spec or ()) for s in ema_sh)
+
+    def loss_fn(p, batch, rng, logvar):
+        out = jnp.tanh(batch @ p["dense"]["kernel"] + p["dense"]["bias"])
+        return jnp.mean(out**2) + jnp.mean(p["to_q"]["kernel"] ** 2), {}
+
+    step = make_diffusion_train_step(loss_fn, opt, jit=False)
+    batch = jax.random.normal(jax.random.PRNGKey(2), (8, 16))
+
+    # replicated reference
+    s_ref, logs_ref = jax.jit(step)(state, batch, jax.random.PRNGKey(3))
+
+    from sd_tpu.parallel.mesh import make_parallel_train_step, shard_batch
+
+    s_sh = jax.device_put(state, sh)
+    pstep = make_parallel_train_step(step, mesh, sh)
+    s_out, logs = pstep(s_sh, shard_batch(mesh, batch), jax.random.PRNGKey(3))
+
+    for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_out.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_ref.ema.shadow),
+                    jax.tree.leaves(s_out.ema.shadow)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)

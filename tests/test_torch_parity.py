@@ -62,6 +62,11 @@ def _install_flash_stub():
 
     mod.flash_attn_func = flash_attn_func
     mod.flash_attn_qkvpacked_func = flash_attn_qkvpacked_func
+    # a real ModuleSpec: transformers probes importlib.util.find_spec
+    # ("flash_attn") and a spec-less stub raises ValueError there
+    import importlib.machinery
+
+    mod.__spec__ = importlib.machinery.ModuleSpec("flash_attn", loader=None)
     sys.modules["flash_attn"] = mod
 
     if "omegaconf" not in sys.modules:
