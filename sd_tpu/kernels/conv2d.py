@@ -28,7 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _conv3x3_kernel(x_hbm, w_ref, b_ref, o_ref, xwin, sem, *,
-                    th: int, W: int, C: int, O: int, n_rows: int):
+                    th: int, W: int, C: int, O: int, n_rows: int,
+                    im2col: bool = False):
     """Grid step (b, i): compute output rows [i*th, i*th+th) for batch b.
 
     x_hbm:  [B, H+2, W+2, C] pre-padded input, stays in HBM/ANY
@@ -61,16 +62,32 @@ def _conv3x3_kernel(x_hbm, w_ref, b_ref, o_ref, xwin, sem, *,
     def _prefetch():
         start_copy(i + 1, jax.lax.rem(i + 1, 2)).start()
 
-    acc = jnp.zeros((th * W, O), jnp.float32)
-    for di in range(3):
-        rows = xwin[slot, di:di + th]          # [th, W+2, C]
-        for dj in range(3):
-            win = rows[:, dj:dj + W, :].reshape(th * W, C)
-            acc = acc + jax.lax.dot_general(
-                win, w_ref[di, dj],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    if im2col:
+        # build the [th·W, 9C] patch matrix once, then ONE K=9C matmul: the
+        # accumulation over taps happens inside the MXU pipeline instead of
+        # 9 fp32 read-modify-write passes over the [th·W, O] accumulator.
+        parts = []
+        for di in range(3):
+            rows = xwin[slot, di:di + th]
+            for dj in range(3):
+                parts.append(rows[:, dj:dj + W, :].reshape(th * W, C))
+        patches = jnp.concatenate(parts, axis=-1)       # [th·W, 9C]
+        acc = jax.lax.dot_general(
+            patches, w_ref[:].reshape(9 * C, O),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        acc = jnp.zeros((th * W, O), jnp.float32)
+        for di in range(3):
+            rows = xwin[slot, di:di + th]          # [th, W+2, C]
+            for dj in range(3):
+                win = rows[:, dj:dj + W, :].reshape(th * W, C)
+                acc = acc + jax.lax.dot_general(
+                    win, w_ref[di, dj],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
     acc = acc + b_ref[0].astype(jnp.float32)
     o_ref[0] = acc.reshape(th, W, O).astype(o_ref.dtype)
 
@@ -81,17 +98,25 @@ def conv3x3_same(
     b: jax.Array | None = None,   # [O]
     *,
     row_tile: int | None = None,
+    im2col: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Stride-1 SAME 3×3 convolution, fp32 accumulation, output in x.dtype."""
     B, H, W, C = x.shape
     O = w.shape[-1]
-    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    # the DMA'd window is [th+2, W2, C]; Mosaic requires the sliced sublane
+    # dim (W2) to be 8-aligned, so right-pad the width beyond the SAME halo
+    W2 = ((W + 2 + 7) // 8) * 8
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, W2 - W - 1), (0, 0)])
 
     if row_tile is None:
-        # ~2-4 MB double-buffered window; keep th a divisor of H
+        # ~2-4 MB double-buffered window; keep th a divisor of H. The im2col
+        # form also holds a [th·W, 9C] patch matrix — budget for it.
         budget = 4 * 1024 * 1024
-        th = max(8, min(H, budget // max(1, 2 * (W + 2) * C * x.dtype.itemsize)))
+        per_row = 2 * (W + 2) * C * x.dtype.itemsize
+        if im2col:
+            per_row += 9 * W * C * x.dtype.itemsize
+        th = max(8, min(H, budget // max(1, per_row)))
         while H % th != 0:
             th -= 1
         row_tile = max(1, th)
@@ -103,7 +128,7 @@ def conv3x3_same(
     bias = bias.reshape(1, O)
 
     kernel = functools.partial(
-        _conv3x3_kernel, th=th, W=W, C=C, O=O, n_rows=n_rows)
+        _conv3x3_kernel, th=th, W=W, C=C, O=O, n_rows=n_rows, im2col=im2col)
     wc = w.astype(x.dtype)
     return pl.pallas_call(
         kernel,
@@ -116,11 +141,42 @@ def conv3x3_same(
         out_specs=pl.BlockSpec((1, th, W, O), lambda b, i: (b, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, W, O), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 2, W + 2, C), x.dtype),
+            pltpu.VMEM((2, th + 2, W2, C), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, wc, bias)
+
+
+def _xla_conv3x3(x, w, b):
+    """nn.Conv-semantics XLA reference (used for the backward)."""
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_same_trainable(x, w, b, interpret=False):
+    """conv3x3_same with a custom VJP: Pallas forward, XLA convs backward
+    (pallas_call has no automatic transpose; the backward convs are the
+    channel-rotated/kernel-flipped forms XLA already runs at full speed
+    for these shapes in the im2col regime that hurts only the forward's
+    extra HBM traffic — the cotangent convs contract over spatial dims)."""
+    return conv3x3_same(x, w, b, interpret=interpret)
+
+
+def _conv_fwd(x, w, b, interpret):
+    return conv3x3_same(x, w, b, interpret=interpret), (x, w, b)
+
+
+def _conv_bwd(interpret, res, g):
+    x, w, b = res
+    _, vjp = jax.vjp(_xla_conv3x3, x, w, b)
+    return vjp(g)
+
+
+conv3x3_same_trainable.defvjp(_conv_fwd, _conv_bwd)
 
 
 def conv3x3_wants_pallas(shape: tuple, c_in: int, c_out: int,

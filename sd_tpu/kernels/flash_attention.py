@@ -172,16 +172,24 @@ def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref,
         lse_ref[0] = jnp.where(l_ref[:, :1] > 0.0, lse, NEG_INF)
 
 
-def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                         dq_ref, acc_ref, *, scale: float, kv_len: int,
-                         block_k: int):
-    """dq = scale · Σ_kv [p ∘ (do·vᵀ − delta)] k, p recomputed from lse."""
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
+                         dq_ref, delta_ref, acc_ref, delta_acc, *,
+                         scale: float, kv_len: int, block_k: int):
+    """dq = scale · Σ_kv [p ∘ (do·vᵀ − delta)] k, p recomputed from lse.
+
+    delta_i = Σ_d do ∘ o is FUSED into the first kv step (it only needs this
+    q-tile's rows, which are already resident) and emitted as a second output
+    for the dkv kernel — no separate XLA reduction pass over [BH, S, D]."""
     j = pl.program_id(2)
     n_j = pl.num_programs(2)
 
     @pl.when(j == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        delta_acc[:] = jnp.broadcast_to(jnp.sum(
+            do_ref[0].astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+            axis=-1, keepdims=True), delta_acc.shape)
+        delta_ref[0] = delta_acc[:, :1]
 
     q = q_ref[0]
     k = k_ref[0]
@@ -199,7 +207,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                     # [block_q, block_k]
-    ds = p * (dp - delta_ref[0])
+    ds = p * (dp - delta_acc[:, :1])
     acc_ref[:] += jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -456,17 +464,13 @@ def _bwd(scale, block_q, block_k, interpret, p_dtype, res, g):
         pad = [(0, 0), (0, skv_pad - skv), (0, 0)]
         kf, vf = jnp.pad(kf, pad), jnp.pad(vf, pad)
 
-    # delta_i = Σ_d do ∘ o (rowwise), from the padded forward output
-    delta = jnp.sum(
-        gf.astype(jnp.float32) * out_f.astype(jnp.float32), axis=-1,
-        keepdims=True,
-    )
-
-    # ---- dq: grid (bh, q-tiles, kv-tiles), kv innermost ----------------
+    # ---- dq (+fused delta): grid (bh, q-tiles, kv-tiles), kv innermost ----
+    # delta = Σ_d do ∘ o computes inside the dq kernel's first kv step and is
+    # emitted as a second output for the dkv kernel.
     dq_kernel = functools.partial(
         _flash_bwd_dq_kernel, scale=scale, kv_len=skv, block_k=bk
     )
-    dqf = pl.pallas_call(
+    dqf, delta = pl.pallas_call(
         dq_kernel,
         grid=(bh, sq_pad // bq, skv_pad // bk),
         in_specs=[
@@ -475,13 +479,22 @@ def _bwd(scale, block_q, block_k, interpret, p_dtype, res, g):
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),   # v
             pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),   # do
             pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),   # lse
-            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),   # delta
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),   # o
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        out_specs=(
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq_pad, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+        ],
         interpret=interpret,
-    )(qf, kf, vf, gf, lse, delta)
+    )(qf, kf, vf, gf, lse, out_f)
 
     # ---- dk/dv: grid (bh, kv-tiles, q-tiles), q innermost ---------------
     # lse/delta transposed to row layout [bh, 1, sq] (see kernel comment)

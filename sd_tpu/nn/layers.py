@@ -96,6 +96,38 @@ def zeros_init_conv(
     )
 
 
+class Conv3x3(nn.Module):
+    """Drop-in for nn.Conv(features, (3,3), padding=1) that dispatches
+    big-spatial stride-1 SAME convs to the Pallas fused conv on TPU
+    (kernels/conv2d.py — XLA's im2col materialization runs the 512² codec
+    levels at 26% MFU, BASELINE.md). Same param tree ({kernel, bias}) and
+    nn.Conv dtype semantics, so checkpoints/importers are unchanged."""
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        C = x.shape[-1]
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, C, self.features), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        from sd_tpu.kernels.conv2d import (conv3x3_same_trainable,
+                                           conv3x3_wants_pallas)
+
+        cdt = self.dtype or x.dtype
+        if conv3x3_wants_pallas(x.shape, C, self.features, cdt):
+            return conv3x3_same_trainable(x.astype(cdt), k.astype(cdt),
+                                          b.astype(cdt))
+        y = jax.lax.conv_general_dilated(
+            x.astype(cdt), k.astype(cdt), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + b.astype(cdt)
+
+
 def mean_flat(x: jax.Array) -> jax.Array:
     """Mean over all non-batch dims (reference: DDIM/diffusion_modules.py:190-196)."""
     return jnp.mean(x, axis=tuple(range(1, x.ndim)))

@@ -47,13 +47,16 @@ def upsample_conv_2x(x: jax.Array, w: jax.Array, b: jax.Array | None,
                 k2 = jnp.stack([rk[:, 0] + rk[:, 1], rk[:, 2]], axis=1)
             pad_r = (1, 0) if di == 0 else (0, 1)
             pad_c = (1, 0) if dj == 0 else (0, 1)
+            # nn.Conv dtype semantics: operands cast to cdt, output in cdt.
+            # (No preferred_element_type=fp32 here — it breaks the conv
+            # TRANSPOSE rule under grad: fp32 cotangent × bf16 kernel. The
+            # MXU still accumulates fp32 internally for bf16 inputs.)
             y = jax.lax.conv_general_dilated(
                 x.astype(cdt), k2.astype(cdt), (1, 1), [pad_r, pad_c],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32)
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
             if b is not None:
-                y = y + b.astype(jnp.float32)
-            phases.append(y.astype(cdt))
+                y = y + b.astype(cdt)
+            phases.append(y)
     p = jnp.stack(phases, axis=3)                # [B, H, W, 4, O]
     B, H, W, _, O = p.shape
     p = p.reshape(B, H, W, 2, 2, O).transpose(0, 1, 3, 2, 4, 5)
