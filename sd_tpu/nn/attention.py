@@ -144,9 +144,32 @@ class CrossAttention(nn.Module):
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder matching nn.Dense's tree ({kernel, bias}) and default
+    initializers, so checkpoints and weight import see an ordinary Dense."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
 class FeedForwardGEGLU(nn.Module):
     """GEGLU feed-forward (reference: openai_model/attention.py GEGLU/FeedForward,
-    clip_encoder/x_transformer.py:184-211)."""
+    clip_encoder/x_transformer.py:184-211).
+
+    The glu path runs as ONE fused Pallas kernel on TPU (kernels/geglu.py):
+    XLA materializes the 4×-expanded [N, 2I] intermediate in HBM, measured
+    30% MFU at the SD shapes (PROBE_R5 `ff_geglu_*`). Param tree is
+    Dense-compatible ({proj_in,proj_out}×{kernel,bias})."""
 
     mult: int = 4
     dropout: float = 0.0
@@ -160,15 +183,37 @@ class FeedForwardGEGLU(nn.Module):
         # exact (erf) gelu: torch F.gelu / nn.GELU default, which is what the
         # reference and SD checkpoints were trained with; jax defaults to the
         # tanh approximation (~1e-3 divergence).
-        if self.glu:
-            h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
-            h, gate = jnp.split(h, 2, axis=-1)
-            h = h * nn.gelu(gate, approximate=False)
-        else:
+        if not self.glu:
             h = nn.gelu(nn.Dense(inner, dtype=self.dtype, name="proj_in")(x),
                         approximate=False)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            return nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+
+        from sd_tpu.kernels.geglu import (_geglu_xla, geglu_ff_trainable,
+                                          geglu_wants_pallas)
+
+        w1, b1 = _DenseParams(inner * 2, C, name="proj_in")()
+        w2, b2 = _DenseParams(C, inner, name="proj_out")()
+        # nn.Dense(dtype=None) promotes with the fp32 params — mirror that.
+        cdt = self.dtype or jnp.result_type(x.dtype, jnp.float32)
+        xc = x.astype(cdt)
+        n_tokens = xc.size // C
+
+        if self.dropout > 0.0 and not deterministic:
+            # dropout needs the materialized intermediate — unfused path
+            h = jnp.einsum("...c,ci->...i", xc, w1.astype(cdt),
+                           preferred_element_type=jnp.float32)
+            h = h + b1.astype(jnp.float32)
+            a, g = h[..., :inner], h[..., inner:]
+            y = (a * nn.gelu(g, approximate=False)).astype(cdt)
+            y = nn.Dropout(self.dropout)(y, deterministic=False)
+            out = jnp.einsum("...i,ic->...c", y, w2.astype(cdt),
+                             preferred_element_type=jnp.float32)
+            return (out + b2.astype(jnp.float32)).astype(cdt)
+
+        if geglu_wants_pallas(n_tokens, C, inner, cdt):
+            return geglu_ff_trainable(xc, w1, b1, w2, b2)
+        return _geglu_xla(xc, w1.astype(cdt), b1, w2.astype(cdt), b2)
 
 
 class BasicTransformerBlock(nn.Module):

@@ -40,6 +40,13 @@ class GroupNorm32(nn.Module):
         groups = min(self.num_groups, max(channels // 2, 1))
         while channels % groups != 0:
             groups -= 1
+
+        # (A per-channel-first stats rewrite was probed and REVERTED: it
+        # measured 2.03 ms vs flax's 1.76 ms at [4,512,512,128] on v5e
+        # (PROBE_R6 `gn32_dec512_128_chfirst` vs PROBE_R5 `gn32_dec512_128`) —
+        # XLA already fuses the fp32 casts into the reduction here, and the
+        # separate per-channel sum/sumsq passes fuse worse than flax's single
+        # [..,g,C/g] reduction despite the 4-wide lane dim.)
         y = nn.GroupNorm(
             num_groups=groups,
             epsilon=self.epsilon,

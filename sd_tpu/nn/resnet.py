@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sd_tpu.nn.layers import GroupNorm32, zeros_init_conv
+from sd_tpu.nn.layers import Conv3x3, GroupNorm32, zeros_init_conv
 from sd_tpu.nn.updown import Downsample, Upsample
 
 
@@ -40,7 +40,9 @@ class ResnetBlock(nn.Module):
 
         h = GroupNorm32(32, epsilon=1e-6, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        # Conv3x3 = nn.Conv-compatible wrapper that dispatches the big-spatial
+        # codec levels to the Pallas fused conv on TPU (kernels/conv2d.py)
+        h = Conv3x3(out_ch, dtype=self.dtype, name="conv1")(h)
 
         if temb is not None:
             t = nn.Dense(out_ch, dtype=self.dtype, name="temb_proj")(nn.silu(temb))
@@ -49,11 +51,11 @@ class ResnetBlock(nn.Module):
         h = GroupNorm32(32, epsilon=1e-6, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = Conv3x3(out_ch, dtype=self.dtype, name="conv2")(h)
 
         if in_ch != out_ch:
             if self.use_conv_shortcut:
-                x = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_shortcut")(x)
+                x = Conv3x3(out_ch, dtype=self.dtype, name="conv_shortcut")(x)
             else:
                 x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
         return x + h
