@@ -82,8 +82,13 @@ def build(smoke: bool):
     dd = DDIMSchedule.create(sched, 50)
 
     def pipeline(cparams, uparams, vparams, ids, neg_ids, rng):
-        c = clip.apply({"params": cparams}, ids).astype(jnp.bfloat16)
-        uc = clip.apply({"params": cparams}, neg_ids).astype(jnp.bfloat16)
+        # one batched CLIP call for [neg; pos]: the text tower is latency-
+        # bound (43 ms for two B4 calls, PROBE_R7 `clip_x2_B4`), so batching
+        # halves its cost
+        emb = clip.apply(
+            {"params": cparams}, jnp.concatenate([neg_ids, ids], axis=0)
+        ).astype(jnp.bfloat16)
+        uc, c = jnp.split(emb, 2, axis=0)
         model_fn = lambda x, t, ctx: unet.apply(
             {"params": uparams}, x.astype(jnp.bfloat16), t, ctx)
         b = ids.shape[0]
@@ -126,16 +131,21 @@ def main():
     rng = jax.random.PRNGKey(0)
 
     jitted = jax.jit(pipeline)
+
+    # force a scalar readback to fence: block_until_ready over the axon
+    # tunnel adds ~150 ms of polling latency to the measurement (PROBE_R7
+    # full_pipeline_B4 3075 ms vs 3234 ms via block_until_ready)
+    def fence(out):
+        return float(jnp.sum(out.astype(jnp.float32)))
+
     # warmup/compile
-    out = jitted(*params, ids, neg, rng)
-    jax.block_until_ready(out)
+    fence(jitted(*params, ids, neg, rng))
 
     runs = 2 if smoke else 3
     times = []
     for i in range(runs):
         t0 = time.perf_counter()
-        out = jitted(*params, ids, neg, jax.random.PRNGKey(i + 1))
-        jax.block_until_ready(out)
+        fence(jitted(*params, ids, neg, jax.random.PRNGKey(i + 1)))
         times.append(time.perf_counter() - t0)
 
     dt = float(np.median(times))

@@ -53,16 +53,22 @@ class DDIMSampler:
         uncond: Any = None,
         guidance_scale: float = 1.0,
         temperature: float = 1.0,
+        cond_batched: Any = None,
     ) -> tuple[jax.Array, jax.Array]:
         """One DDIM update (reference: DDIM/ddim.py:165-204). Returns
-        (x_prev, pred_x0)."""
+        (x_prev, pred_x0).
+
+        cond_batched: optional precomputed [uncond; cond] tree — the CFG
+        conditioning concat is loop-invariant, so `sample` hoists it out of
+        the scan (measured 0.65 ms/step of scan-body overhead at B4,
+        PROBE_R7 `ddim50_identity_model`)."""
         if uncond is None or guidance_scale == 1.0:
             e_t = model_fn(x, t, cond)
         else:
             # batched CFG: [uncond; cond] through one model call
             x_in = jnp.concatenate([x, x], axis=0)
             t_in = jnp.concatenate([t, t], axis=0)
-            c_in = jax.tree.map(
+            c_in = cond_batched if cond_batched is not None else jax.tree.map(
                 lambda u, c: jnp.concatenate([u, c], axis=0), uncond, cond
             )
             e_uncond, e_cond = jnp.split(model_fn(x_in, t_in, c_in), 2, axis=0)
@@ -85,8 +91,11 @@ class DDIMSampler:
         if self.quantize_fn is not None:
             pred_x0 = self.quantize_fn(pred_x0).astype(pred_x0.dtype)
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e32
-        noise = sigma_t * jax.random.normal(rng, x.shape, jnp.float32) * temperature
-        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt
+        if rng is not None:
+            x_prev = x_prev + (
+                sigma_t * jax.random.normal(rng, x.shape, jnp.float32)
+                * temperature)
         return x_prev.astype(x.dtype), pred_x0.astype(x.dtype)
 
     # -- full reverse pass ---------------------------------------------------
@@ -120,9 +129,29 @@ class DDIMSampler:
         rng, init_rng = jax.random.split(rng)
         img = x_T if x_T is not None else jax.random.normal(init_rng, shape)
 
+        # hoist the loop-invariant CFG concat out of the scan body
+        cond_batched = None
+        if uncond is not None and guidance_scale != 1.0:
+            cond_batched = jax.tree.map(
+                lambda u, c: jnp.concatenate([u, c], axis=0), uncond, cond
+            )
+        # skip per-step RNG work when the update is deterministic (η=0 → all
+        # σ are zero). dd tables are concrete outside jit / closure constants
+        # inside it; if they are tracers, conservatively keep the noise path.
+        stochastic = True
+        try:
+            import numpy as _np
+
+            stochastic = bool(_np.any(_np.asarray(dd.sigmas) != 0.0))
+        except Exception:
+            pass
+
         def step(carry, index):
             img, rng = carry
-            rng, mask_rng, step_rng = jax.random.split(rng, 3)
+            if stochastic or mask is not None:
+                rng, mask_rng, step_rng = jax.random.split(rng, 3)
+            else:
+                mask_rng = step_rng = None
             t = jnp.full((b,), dd.timesteps[index], dtype=jnp.int32)
 
             if mask is not None:
@@ -132,9 +161,9 @@ class DDIMSampler:
                 img = img_orig * mask + (1.0 - mask) * img
 
             img, pred_x0 = self.p_sample_ddim(
-                model_fn, img, t, index, dd, step_rng,
+                model_fn, img, t, index, dd, step_rng if stochastic else None,
                 cond=cond, uncond=uncond, guidance_scale=guidance_scale,
-                temperature=temperature,
+                temperature=temperature, cond_batched=cond_batched,
             )
             return (img, rng), (pred_x0 if return_pred_x0 else None)
 
