@@ -45,8 +45,11 @@ def _pallas_ok(q: jax.Array, k: jax.Array) -> bool:
     sq, d = q.shape[1], q.shape[3]
     skv = k.shape[1]
     # flash kernel wants MXU-aligned q tiles; kv raggedness is masked inside
-    # the kernel (77-token CLIP context pads to one 128-lane tile).
-    if sq % 128 != 0 or d > 256:
+    # the kernel (77-token CLIP context pads to one 128-lane tile). d up to
+    # 512 covers the codec mid-block single-head attention (flash 2.67 ms vs
+    # XLA 3.95 ms at [4,4096,1,512] — PROBE_R8; XLA materializes the
+    # [B,1,S,S] fp32 logits there).
+    if sq % 128 != 0 or d > 512:
         return False
     # measured crossovers on v5e (PROBE_R2.jsonl, bf16, B8/h8):
     #   cross-attn kv=77, Sq=4096/d40: XLA 0.26 ms vs flash 0.85 ms — the
@@ -114,6 +117,49 @@ def _shard_ctx_applies(q: jax.Array) -> bool:
         and ax in mesh.axis_names
         and q.shape[2] % mesh.shape[ax] == 0
     )
+
+
+# Packed-projection layout: for flash-eligible SELF-attention the caller can
+# emit q/k/v projections directly as [B, H, S, D] (einsum with a 3-D weight)
+# and run the kernel with H folded into batch — the front-end's
+# [B,S,H,D]→[B·H,S,D] transpose then becomes a pure reshape. Measured
+# 4.45 vs 4.65 ms per L0 block (PROBE_R8 `selfattn_L0_einsum_bhsd`), exact
+# parity. Not compatible with the shard_map TP path (heads must stay a
+# real axis to shard over).
+_PACKED_CTX = {"force_interpret": False}  # tests: exercise the packed path on CPU
+
+
+def packed_flash_ok(sq: int, skv: int, heads: int, d: int) -> bool:
+    """True when the packed [B,H,S,D] self-attention layout should be used.
+
+    OPT-IN (SD_TPU_ATTN_PACKED=1): the isolated block measured faster
+    (4.45 vs 4.65 ms, PROBE_R8) but the full UNet step got SLOWER
+    (61.8 vs 59.6 ms, PROBE_R9 `unet_fwd_B8_packed_attn`) — XLA's global
+    layout assignment around the packed einsums loses more than the
+    front-end transposes cost. Kept for experimentation."""
+    if _PACKED_CTX["force_interpret"]:
+        return True
+    if os.environ.get("SD_TPU_ATTN_PACKED") != "1":
+        return False
+    if os.environ.get("SD_TPU_ATTN_IMPL") == "xla":
+        return False
+    if _SHARD_CTX["mesh"] is not None:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return sq % 128 == 0 and d <= 512 and skv >= 512 and sq >= 512
+
+
+def packed_flash_attention(q, k, v, *, scale: float | None = None):
+    """Flash attention over packed [B, H, S, D] tensors (self-attention only;
+    heads fold into the kernel's batch dim with zero data movement)."""
+    from sd_tpu.kernels.flash_attention import flash_attention
+
+    B, H, S, D = q.shape
+    fold = lambda x: x.reshape(B * H, S, 1, D)
+    out = flash_attention(fold(q), fold(k), fold(v), scale=scale,
+                          interpret=_PACKED_CTX["force_interpret"])
+    return out.reshape(B, H, S, D)
 
 
 def dot_product_attention(

@@ -30,6 +30,27 @@ from jax.experimental.pallas import tpu as pltpu
 def _conv3x3_kernel(x_hbm, w_ref, b_ref, o_ref, xwin, sem, *,
                     th: int, W: int, C: int, O: int, n_rows: int,
                     im2col: bool = False):
+    _conv3x3_kernel_impl(x_hbm, w_ref, b_ref, None, None, o_ref, xwin, sem,
+                         th=th, W=W, C=C, O=O, n_rows=n_rows, im2col=im2col,
+                         H=None)
+
+
+def _conv3x3_prologue_kernel(x_hbm, w_ref, b_ref, a_ref, c_ref, o_ref, xwin,
+                             sem, *, th: int, W: int, C: int, O: int,
+                             n_rows: int, H: int):
+    """conv3x3 with a fused normalize+silu prologue: the DMA'd window is
+    transformed as silu(x·a_b + c_b) (a/c fold the GroupNorm mean/rinv/scale/
+    bias per (batch, channel)) before the taps, with the SAME-padding halo
+    re-zeroed. Saves the full read+write of the normalized tensor that a
+    separate GN pass costs at the 512²/256² decoder levels."""
+    _conv3x3_kernel_impl(x_hbm, w_ref, b_ref, a_ref, c_ref, o_ref, xwin, sem,
+                         th=th, W=W, C=C, O=O, n_rows=n_rows, im2col=False,
+                         H=H)
+
+
+def _conv3x3_kernel_impl(x_hbm, w_ref, b_ref, a_ref, c_ref, o_ref, xwin, sem,
+                         *, th: int, W: int, C: int, O: int, n_rows: int,
+                         im2col: bool, H: int | None):
     """Grid step (b, i): compute output rows [i*th, i*th+th) for batch b.
 
     x_hbm:  [B, H+2, W+2, C] pre-padded input, stays in HBM/ANY
@@ -61,6 +82,37 @@ def _conv3x3_kernel(x_hbm, w_ref, b_ref, o_ref, xwin, sem, *,
     @pl.when(i + 1 < n_rows)
     def _prefetch():
         start_copy(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+    if a_ref is not None:
+        # fused GroupNorm+SiLU prologue on the resident window, fp32 math
+        win = xwin[slot]                              # [th+2, W2, C]
+        a = a_ref[b].astype(jnp.float32)              # [C]
+        cc = c_ref[b].astype(jnp.float32)             # [C]
+        y = win.astype(jnp.float32) * a + cc
+        y = y * jax.nn.sigmoid(y)                     # silu
+        # re-zero the SAME-conv halo (normalize would turn padding nonzero):
+        # window row r is padded-array row i*th + r (valid 1..H); only cols
+        # 1..W are real data (col 0 and W+1 are the halo the taps read).
+        W2 = xwin.shape[2]
+        row = jax.lax.broadcasted_iota(jnp.int32, (th + 2, W2, 1), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (th + 2, W2, 1), 1)
+        gr = i * th + row
+        valid = (gr >= 1) & (gr <= H) & (col >= 1) & (col <= W)
+        win = jnp.where(valid, y, 0.0).astype(xwin.dtype)
+
+        acc = jnp.zeros((th * W, O), jnp.float32)
+        for di in range(3):
+            rows = win[di:di + th]                    # [th, W+2.., C]
+            for dj in range(3):
+                tap = rows[:, dj:dj + W, :].reshape(th * W, C)
+                acc = acc + jax.lax.dot_general(
+                    tap, w_ref[di, dj],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        acc = acc + b_ref[0].astype(jnp.float32)
+        o_ref[0] = acc.reshape(th, W, O).astype(o_ref.dtype)
+        return
 
     if im2col:
         # build the [th·W, 9C] patch matrix once, then ONE K=9C matmul: the
@@ -158,31 +210,176 @@ def _xla_conv3x3(x, w, b):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def conv3x3_same_trainable(x, w, b, interpret=False):
-    """conv3x3_same with a custom VJP: Pallas forward, XLA convs backward
-    (pallas_call has no automatic transpose; the backward convs are the
-    channel-rotated/kernel-flipped forms XLA already runs at full speed
-    for these shapes in the im2col regime that hurts only the forward's
-    extra HBM traffic — the cotangent convs contract over spatial dims)."""
+    """conv3x3_same with a custom VJP that makes the op **Pallas for
+    inference, XLA for training**: undifferentiated calls run the Pallas
+    kernel; under `jax.grad` the forward runs the XLA conv ONCE (capturing
+    its vjp closure as the residual), so training keeps XLA's own fused
+    fwd+bwd. The earlier residual scheme re-ran the XLA forward inside the
+    backward's `jax.vjp` — measured +65 ms on the KL-GAN train step
+    (PROBE_R12 `kl_gan_step_256_B8_pallasconv` 267 vs `_xlaconv` 202 ms)."""
     return conv3x3_same(x, w, b, interpret=interpret)
 
 
 def _conv_fwd(x, w, b, interpret):
-    return conv3x3_same(x, w, b, interpret=interpret), (x, w, b)
+    out, vjp = jax.vjp(_xla_conv3x3, x, w, b)
+    return out, vjp
 
 
-def _conv_bwd(interpret, res, g):
-    x, w, b = res
-    _, vjp = jax.vjp(_xla_conv3x3, x, w, b)
+def _conv_bwd(interpret, vjp, g):
     return vjp(g)
 
 
 conv3x3_same_trainable.defvjp(_conv_fwd, _conv_bwd)
 
 
+def _gn_stats_affine(x, gn_scale, gn_bias, groups, eps):
+    """Per-(batch, channel) affine (a, c) folding GroupNorm stats: the
+    normalized+scaled value is x·a + c. One read of x (XLA fuses the two
+    reductions); flax-equivalent fp32 fast-variance stats."""
+    B, H, W, C = x.shape
+    cg = C // groups
+    x32g = x.astype(jnp.float32).reshape(B, H * W, groups, cg)
+    mu = jnp.mean(x32g, axis=(1, 3))                   # [B, g]
+    mu2 = jnp.mean(jnp.square(x32g), axis=(1, 3))
+    var = jnp.maximum(mu2 - jnp.square(mu), 0.0)
+    rinv = jax.lax.rsqrt(var + eps)
+    rinv_c = jnp.repeat(rinv, cg, -1)                  # [B, C]
+    mu_c = jnp.repeat(mu, cg, -1)
+    a = rinv_c * gn_scale[None].astype(jnp.float32)
+    c = gn_bias[None].astype(jnp.float32) - mu_c * a
+    return a, c
+
+
+def gn_silu_conv3x3(
+    x: jax.Array,          # [B, H, W, C]
+    gn_scale: jax.Array,   # [C]
+    gn_bias: jax.Array,    # [C]
+    w: jax.Array,          # [3, 3, C, O]
+    b: jax.Array | None,   # [O]
+    *,
+    groups: int = 32,
+    eps: float = 1e-6,
+    row_tile: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused GroupNorm → SiLU → 3×3 SAME conv: stats are one XLA reduction
+    pass over x; normalize+silu run on the conv kernel's DMA'd window (fp32)
+    so the normalized tensor never round-trips HBM. Saves the separate GN
+    normalize write+read (~1.3 ms per pair at the 512²/128ch decoder level).
+    """
+    B, H, W, C = x.shape
+    O = w.shape[-1]
+    a, c = _gn_stats_affine(x, gn_scale, gn_bias, groups, eps)
+
+    W2 = ((W + 2 + 7) // 8) * 8
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, W2 - W - 1), (0, 0)])
+    if row_tile is None:
+        # tighter budget than the plain conv: the prologue materializes an
+        # fp32 window intermediate and an fp32 acc alongside the
+        # double-buffered bf16 window (a th=8 floor at 256²/512ch compiled
+        # to 17.5 MB scoped VMEM and was rejected)
+        budget = 3 * 1024 * 1024
+        per_row = ((W + 2) * C * (2 * x.dtype.itemsize + 4)
+                   + W * O * (4 + x.dtype.itemsize))
+        th = max(2, min(H, budget // max(1, per_row)))
+        while H % th != 0:
+            th -= 1
+        row_tile = max(1, th)
+    th = row_tile
+    assert H % th == 0, (H, th)
+    n_rows = H // th
+
+    bias = (b if b is not None else jnp.zeros((O,), jnp.float32)).reshape(1, O)
+    kernel = functools.partial(
+        _conv3x3_prologue_kernel, th=th, W=W, C=C, O=O, n_rows=n_rows, H=H)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),     # x stays in HBM
+            pl.BlockSpec((3, 3, C, O), lambda b, i: (0, 0, 0, 0)),
+            pl.BlockSpec((1, O), lambda b, i: (0, 0)),
+            pl.BlockSpec((B, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((B, C), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, W, O), lambda b, i: (b, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, O), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, W2, C), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, w.astype(x.dtype), bias, a, c)
+
+
+def _gn_silu_conv_xla(x, gn_scale, gn_bias, w, b, groups, eps):
+    """XLA reference with the fused kernel's numerics: fp32 normalize+silu,
+    bf16 conv with fp32 accumulation via MXU."""
+    a, c = _gn_stats_affine(x, gn_scale, gn_bias, groups, eps)
+    y = x.astype(jnp.float32) * a[:, None, None, :] + c[:, None, None, :]
+    y = (y * jax.nn.sigmoid(y)).astype(x.dtype)
+    return _xla_conv3x3(y, w, b if b is not None else jnp.zeros((w.shape[-1],)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def gn_silu_conv3x3_trainable(x, gn_scale, gn_bias, w, b, groups=32,
+                              eps=1e-6, interpret=False):
+    """gn_silu_conv3x3 with a custom VJP (Pallas forward, XLA backward —
+    the backward recomputes the normalized activation once, which is what
+    remat would choose anyway)."""
+    return gn_silu_conv3x3(x, gn_scale, gn_bias, w, b, groups=groups,
+                           eps=eps, interpret=interpret)
+
+
+def _gnsc_fwd(x, gn_scale, gn_bias, w, b, groups, eps, interpret):
+    out = gn_silu_conv3x3(x, gn_scale, gn_bias, w, b, groups=groups,
+                          eps=eps, interpret=interpret)
+    return out, (x, gn_scale, gn_bias, w, b)
+
+
+def _gnsc_bwd(groups, eps, interpret, res, g):
+    x, gn_scale, gn_bias, w, b = res
+    _, vjp = jax.vjp(
+        lambda x, s, bb, w, cb: _gn_silu_conv_xla(x, s, bb, w, cb, groups, eps),
+        x, gn_scale, gn_bias, w, b)
+    return vjp(g)
+
+
+gn_silu_conv3x3_trainable.defvjp(_gnsc_fwd, _gnsc_bwd)
+
+
+# Trace-time training context: the Pallas conv is a 1.7× IN-MODEL decode win
+# (104 vs 178 ms interleaved A/B, PROBE_R15 `decode_ab_*`) but costs +70 ms
+# on the KL-GAN train step even with the training-XLA VJP (PROBE_R14
+# `gan_ab_*`: 271.5 vs 202.3 ms) — the primal kernel still lands in the
+# non-differentiated parts of the training graph and schedules poorly there.
+# Train-step builders set this flag around their traced bodies.
+_TRAIN_CTX = {"training": False}
+
+
+class training_trace:
+    """Context manager marking a jit trace as a TRAINING step: Pallas convs
+    dispatch to XLA for the whole traced body."""
+
+    def __enter__(self):
+        self._prev = _TRAIN_CTX["training"]
+        _TRAIN_CTX["training"] = True
+
+    def __exit__(self, *exc):
+        _TRAIN_CTX["training"] = self._prev
+        return False
+
+
 def conv3x3_wants_pallas(shape: tuple, c_in: int, c_out: int,
                          dtype=jnp.bfloat16) -> bool:
     """Heuristic: the kernel beats XLA when the im2col blowup dominates —
     big spatial maps with MXU-filling channel counts."""
+    import os
+
+    if _TRAIN_CTX["training"]:
+        return False
+    if os.environ.get("SD_TPU_PALLAS_CONV", "1") != "1":
+        return False
     if jax.default_backend() != "tpu":
         return False
     B, H, W = shape[0], shape[1], shape[2]

@@ -95,27 +95,160 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         o_ref[0] = (acc_ref[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _flash_kernel_pipelined(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref,
+                            l_ref, p_a, p_b, c_scr, *, scale: float,
+                            kv_len: int, block_k: int, n_kv: int,
+                            p_dtype=jnp.float32):
+    """Software-pipelined variant: the PV matmul for kv-tile j-1 runs in the
+    same grid step as tile j's QK matmul and exp2 — they are data-independent,
+    and Mosaic overlaps MXU and VPU work (measured: an independent matmul +
+    exp chain costs max, not sum — PROBE_R11 `overlap_*`). The serial kernel
+    measures exactly MXU+VPU serial (4.06 ms ≈ 2.8 matmul + 1.3 exp at the SD
+    L0 shape). The kv grid has ONE extra drain step; the v BlockSpec lags one
+    tile behind k.
+    """
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    # ---- deferred PV for tile j-1 (independent of this step's QK/exp) ----
+    # p double-buffers as TWO separate scratch allocations selected by kv-step
+    # parity: a single [2, bq, bk] buffer made Mosaic serialize the read
+    # (tile j-1) against the write (tile j) and killed the overlap.
+    def _pv_from(p_ref):
+        read = jax.lax.rem(j - 1, 2)
+        pv = jax.lax.dot_general(
+            p_ref[...], v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * c_scr[read][:, :1] + pv
+
+    @pl.when((j > 0) & (jax.lax.rem(j - 1, 2) == 0))
+    def _pv_prev_a():
+        _pv_from(p_a)
+
+    @pl.when((j > 0) & (jax.lax.rem(j - 1, 2) == 1))
+    def _pv_prev_b():
+        _pv_from(p_b)
+
+    # ---- QK + online softmax for tile j ----------------------------------
+    @pl.when(j < n_kv)
+    def _qk():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (scale * LOG2E)
+
+        if kv_len % block_k != 0:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(j * block_k + col < kv_len, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp2((s - m_new).astype(p_dtype))
+        corr = jnp.exp2(m_prev - m_new)
+        l_ref[:] = jnp.broadcast_to(
+            corr * l_ref[:, :1]
+            + jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32),
+            l_ref.shape)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        write = jax.lax.rem(j, 2)
+
+        @pl.when(write == 0)
+        def _store_a():
+            p_a[...] = p.astype(p_a.dtype)
+
+        @pl.when(write == 1)
+        def _store_b():
+            p_b[...] = p.astype(p_b.dtype)
+
+        c_scr[write] = jnp.broadcast_to(corr, c_scr.shape[1:])
+
+    @pl.when(j == n_kv)
+    def _finalize():
+        l = l_ref[:, :1]
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def _flash_attention_bhsd(
     q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
     block_q: int, block_k: int, true_kv_len: int, interpret: bool,
     p_dtype=jnp.float32,
 ) -> jax.Array:
     """Flash attention over [BH, S, D] tensors (already padded/aligned)."""
+    import os
+
     bh, sq, d = q.shape
     skv = k.shape[1]
-    grid = (bh, sq // block_q, pl.cdiv(skv, block_k))
+    n_kv = pl.cdiv(skv, block_k)
 
+    # OPT-IN (SD_TPU_FLASH_PIPE=1): Mosaic DOES overlap independent MXU/VPU
+    # work (PROBE_R11 `overlap_*`: mm+exp = max, not sum), but BOTH pipelined
+    # formulations measured ~25-40% SLOWER than the serial kernel at the SD
+    # L0 shape (7.8/7.1 vs 6.6/5.2 ms — PROBE_R12/R13): the drain step, the
+    # p-tile store/load, and the acc serialization eat more than the exp
+    # overlap saves. Kept for experimentation; exact numerical parity is
+    # tested either way.
+    pipelined = (os.environ.get("SD_TPU_FLASH_PIPE", "0") == "1"
+                 and n_kv >= 2)
+    if pipelined:
+        # p/corr double buffers: [2, bq, bk] in the PV-input dtype. Shrink
+        # block_q until the added scratch stays well inside VMEM.
+        bq = block_q
+        while bq > 256 and 2 * bq * block_k * 2 > 6 * 1024 * 1024:
+            bq //= 2
+        if sq % bq != 0:
+            pipelined = False
+        else:
+            block_q = bq
+
+    if not pipelined:
+        grid = (bh, sq // block_q, n_kv)
+        kernel = functools.partial(
+            _flash_kernel, scale=scale, kv_len=true_kv_len, block_k=block_k,
+            p_dtype=p_dtype,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, d), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+            ],
+            interpret=interpret,
+        )(q, k, v)
+
+    grid = (bh, sq // block_q, n_kv + 1)  # one extra drain step
+    last = n_kv - 1
     kernel = functools.partial(
-        _flash_kernel, scale=scale, kv_len=true_kv_len, block_k=block_k,
-        p_dtype=p_dtype,
+        _flash_kernel_pipelined, scale=scale, kv_len=true_kv_len,
+        block_k=block_k, n_kv=n_kv, p_dtype=p_dtype,
     )
+    p_store = jnp.bfloat16 if v.dtype == jnp.bfloat16 else jnp.float32
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            # k serves tile j (clamped on the drain step); v lags one tile
+            pl.BlockSpec((1, block_k, d),
+                         lambda b, i, j: (b, jnp.minimum(j, last), 0)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda b, i, j: (b, jnp.maximum(j - 1, 0), 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
@@ -123,6 +256,9 @@ def _flash_attention_bhsd(
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, block_k), p_store),
+            pltpu.VMEM((block_q, block_k), p_store),
+            pltpu.VMEM((2, block_q, LANES), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v)
@@ -286,6 +422,15 @@ def _flash_forward(
 
     bq = min(block_q, _round_up(sq, 8))
     bk = min(block_k, _round_up(skv, LANES))
+    # wide heads (the codec's single-head d=512 mid-block attention): shrink
+    # q AND k tiles so the working set stays inside the 16 MB VMEM scoped
+    # limit (bq1024/bk1024 at d=512 compiles to 17.02 MB and is rejected) —
+    # measured 2.67 ms vs XLA's 3.95 ms at [4,4096,1,512] with q1024/k512
+    # (PROBE_R8 `midattn_d512_*`)
+    while bq * d * 2 > (1 << 20) and bq > 512:
+        bq //= 2
+    while bk * d * 2 > (1 << 19) and bk > 512:
+        bk //= 2
     sq_pad = _round_up(sq, bq)
     skv_pad = _round_up(skv, bk)
     if sq_pad != sq:

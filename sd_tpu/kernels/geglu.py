@@ -130,19 +130,21 @@ def _geglu_xla(x, w1, b1, w2, b2):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def geglu_ff_trainable(x, w1, b1, w2, b2, interpret=False):
-    """geglu_ff with a custom VJP: Pallas forward, XLA backward (the backward
-    recomputes the [N, 2I] intermediate once — same FLOPs as saving it but no
-    HBM residency between fwd and bwd, which is what remat would pick anyway)."""
+    """geglu_ff with a custom VJP that makes the op **Pallas for inference,
+    XLA for training**: undifferentiated calls run the fused kernel; under
+    `jax.grad` the forward runs the XLA form ONCE, capturing its vjp closure
+    as the residual, so training keeps XLA's own fused fwd+bwd with standard
+    residuals (the earlier scheme re-ran the whole forward inside the
+    backward — see the analogous conv finding, PROBE_R12)."""
     return geglu_ff(x, w1, b1, w2, b2, interpret=interpret)
 
 
 def _geglu_fwd(x, w1, b1, w2, b2, interpret):
-    return geglu_ff(x, w1, b1, w2, b2, interpret=interpret), (x, w1, b1, w2, b2)
+    out, vjp = jax.vjp(_geglu_xla, x, w1, b1, w2, b2)
+    return out, vjp
 
 
-def _geglu_bwd(interpret, res, g):
-    x, w1, b1, w2, b2 = res
-    _, vjp = jax.vjp(_geglu_xla, x, w1, b1, w2, b2)
+def _geglu_bwd(interpret, vjp, g):
     return vjp(g)
 
 

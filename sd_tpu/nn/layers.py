@@ -103,6 +103,76 @@ def zeros_init_conv(
     )
 
 
+def apply_conv3x3(x: jax.Array, k: jax.Array, b: jax.Array,
+                  dtype=None) -> jax.Array:
+    """Functional 3×3 SAME conv with the Pallas-vs-XLA backend dispatch and
+    nn.Conv dtype semantics (shared by Conv3x3 and the fused ResnetBlock)."""
+    from sd_tpu.kernels.conv2d import (conv3x3_same_trainable,
+                                       conv3x3_wants_pallas)
+
+    C = x.shape[-1]
+    O = k.shape[-1]
+    cdt = dtype or x.dtype
+    if conv3x3_wants_pallas(x.shape, C, O, cdt):
+        return conv3x3_same_trainable(x.astype(cdt), k.astype(cdt),
+                                      b.astype(cdt))
+    y = jax.lax.conv_general_dilated(
+        x.astype(cdt), k.astype(cdt), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b.astype(cdt)
+
+
+class _ScaleBiasParams(nn.Module):
+    """Parameter holder matching nn.GroupNorm's tree ({scale, bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return s, b
+
+
+class GN32Params(nn.Module):
+    """Parameter holder producing GroupNorm32's exact tree
+    (<name>/GroupNorm_0/{scale, bias}) — used where the norm itself runs
+    inside a fused kernel but checkpoints must stay compatible."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _ScaleBiasParams(self.features, name="GroupNorm_0")()
+
+
+class ConvParams(nn.Module):
+    """Parameter holder matching nn.Conv's tree ({kernel, bias}) for a 3×3."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.features), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+def gn32_groups(channels: int, num_groups: int = 32) -> int:
+    """GroupNorm32's group-count clamp (see GroupNorm32.__call__)."""
+    groups = min(num_groups, max(channels // 2, 1))
+    while channels % groups != 0:
+        groups -= 1
+    return groups
+
+
 class Conv3x3(nn.Module):
     """Drop-in for nn.Conv(features, (3,3), padding=1) that dispatches
     big-spatial stride-1 SAME convs to the Pallas fused conv on TPU
@@ -115,24 +185,13 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        C = x.shape[-1]
         k = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            (3, 3, C, self.features), jnp.float32,
+            (3, 3, x.shape[-1], self.features), jnp.float32,
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)
-        from sd_tpu.kernels.conv2d import (conv3x3_same_trainable,
-                                           conv3x3_wants_pallas)
-
-        cdt = self.dtype or x.dtype
-        if conv3x3_wants_pallas(x.shape, C, self.features, cdt):
-            return conv3x3_same_trainable(x.astype(cdt), k.astype(cdt),
-                                          b.astype(cdt))
-        y = jax.lax.conv_general_dilated(
-            x.astype(cdt), k.astype(cdt), (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + b.astype(cdt)
+        return apply_conv3x3(x, k, b, self.dtype)
 
 
 def mean_flat(x: jax.Array) -> jax.Array:

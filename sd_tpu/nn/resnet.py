@@ -19,7 +19,13 @@ from sd_tpu.nn.updown import Downsample, Upsample
 
 class ResnetBlock(nn.Module):
     """Codec-style resblock: GN(eps 1e-6)→swish→conv ×2 with optional timestep
-    embedding injected between the two convs; 1×1 (`nin`) or 3×3 shortcut."""
+    embedding injected between the two convs; 1×1 (`nin`) or 3×3 shortcut.
+
+    (A fully-fused GN→silu→conv Pallas pass exists — kernels/conv2d.py
+    gn_silu_conv3x3 — but wiring it here measured NEUTRAL for decode
+    (103.8 vs 103.0 ms) and a 100 ms REGRESSION for the GAN train step
+    (267 vs 168 ms: the custom-VJP recompute backward defeats XLA's own
+    fusion), so the block keeps the module path: PROBE_R11.)"""
 
     out_channels: int | None = None
     use_conv_shortcut: bool = False

@@ -111,7 +111,13 @@ def make_diffusion_train_step(
 
     # donate the state: params/opt/EMA buffers are updated in place instead
     # of double-buffered — halves peak HBM for the optimizer state.
-    return jax.jit(train_step, donate_argnums=(0,)) if jit else train_step
+    def traced_step(*args, **kw):
+        from sd_tpu.kernels.conv2d import training_trace
+
+        with training_trace():
+            return train_step(*args, **kw)
+
+    return jax.jit(traced_step, donate_argnums=(0,)) if jit else traced_step
 
 
 def ddpm_optimizer(

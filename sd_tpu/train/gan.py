@@ -198,7 +198,15 @@ def make_kl_gan_train_step(
         )
         return new_state, logs
 
-    return jax.jit(train_step)
+    def traced_step(*args, **kw):
+        # trace-time flag: Pallas convs dispatch to XLA inside training
+        # graphs (PROBE_R14/R15 — inference-only win, training regression)
+        from sd_tpu.kernels.conv2d import training_trace
+
+        with training_trace():
+            return train_step(*args, **kw)
+
+    return jax.jit(traced_step)
 
 
 def make_vq_gan_train_step(
@@ -326,7 +334,15 @@ def make_vq_gan_train_step(
         )
         return new_state, logs
 
-    return jax.jit(train_step)
+    def traced_step(*args, **kw):
+        # trace-time flag: Pallas convs dispatch to XLA inside training
+        # graphs (PROBE_R14/R15 — inference-only win, training regression)
+        from sd_tpu.kernels.conv2d import training_trace
+
+        with training_trace():
+            return train_step(*args, **kw)
+
+    return jax.jit(traced_step)
 
 
 def gumbel_temp_schedule(temp_init: float = 1.0, temp_min: float = 1e-6,

@@ -102,3 +102,76 @@ def test_flash_backward_odd_length_fallback(rng):
     (dq_r,) = vjp_ref(g)
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_r), atol=2e-4,
                                rtol=1e-3)
+
+
+def test_flash_wide_head_d512(rng):
+    """The codec mid-block single-head shape: d=512 (PROBE_R8 measured the
+    kernel 1.5x faster than XLA's materialized-logits attention there)."""
+    q, k, v = rand_qkv(rng, 1, 512, 512, 1, 512)
+    ref = _xla_attention(q, k, v, 512**-0.5)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_flash_wide_head_d512_grad(rng):
+    q, k, v = rand_qkv(rng, 1, 256, 256, 1, 512)
+
+    def loss_pl(args):
+        return jnp.sum(flash_attention(*args, interpret=True) ** 2)
+
+    def loss_ref(args):
+        return jnp.sum(_xla_attention(*args, 512**-0.5) ** 2)
+
+    gp = jax.grad(loss_pl)((q, k, v))
+    gx = jax.grad(loss_ref)((q, k, v))
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_packed_layout_matches_standard(rng, monkeypatch):
+    """CrossAttention's packed [B,H,S,D] self-attention path must produce the
+    same output (and identical param tree) as the standard layout."""
+    from sd_tpu.kernels import attention as attn_mod
+    from sd_tpu.nn.attention import CrossAttention
+
+    ca = CrossAttention(heads=2, dim_head=32, dtype=jnp.float32)
+    x = jax.random.normal(rng, (2, 512, 64))
+    params = ca.init(jax.random.PRNGKey(0), x)
+    want = ca.apply(params, x)  # CPU → standard XLA path
+
+    monkeypatch.setitem(attn_mod._PACKED_CTX, "force_interpret", True)
+    got = ca.apply(params, x)   # packed path, kernel in interpret mode
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    # param tree unchanged vs the nn.Dense layout
+    p = params["params"]
+    assert set(p) == {"to_q", "to_k", "to_v", "to_out"}
+    assert set(p["to_q"]) == {"kernel"} and set(p["to_out"]) == {"kernel", "bias"}
+    assert p["to_q"]["kernel"].shape == (64, 64)
+    assert p["to_out"]["kernel"].shape == (64, 64)
+
+
+@pytest.mark.parametrize("skv,block_k", [(512, 128), (300, 128), (1024, 256)])
+def test_flash_pipelined_matches_xla(rng, skv, block_k, monkeypatch):
+    """The (opt-in) software-pipelined kv sweep (PV deferred one tile, drain
+    step) must match the serial kernel/XLA exactly — incl. ragged last tiles.
+    Measured slower than serial on v5e (PROBE_R12/R13) so it defaults OFF."""
+    monkeypatch.setenv("SD_TPU_FLASH_PIPE", "1")
+    q, k, v = rand_qkv(rng, 2, 256, skv, 2, 40)
+    ref = _xla_attention(q, k, v, 40**-0.5)
+    out = flash_attention(q, k, v, block_k=block_k, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_pipelined_env_off_matches(rng, monkeypatch):
+    monkeypatch.setenv("SD_TPU_FLASH_PIPE", "1")
+    q, k, v = rand_qkv(rng, 1, 256, 512, 2, 40)
+    on = flash_attention(q, k, v, block_k=128, interpret=True)
+    monkeypatch.setenv("SD_TPU_FLASH_PIPE", "0")
+    off = flash_attention(q, k, v, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(on), np.asarray(off),
+                               atol=1e-6, rtol=1e-6)
