@@ -75,6 +75,12 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[dict]:
         self._epoch += 1
+        # advance the dataset's per-epoch RNG stream (random flips etc.) —
+        # without this the per-item generators seeded by (seed, epoch, idx)
+        # repeat epoch 0's decisions forever
+        set_epoch = getattr(self.dataset, "set_epoch", None)
+        if callable(set_epoch):
+            set_epoch(self._epoch)
         batches = self._batch_indices()
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

@@ -185,8 +185,10 @@ def dot_product_attention(
     # gate which shapes take the kernel, but the backend check is bypassed so
     # the real kernel-under-shard_map path is what gets validated.
     if _shard_ctx_applies(q) and _SHARD_CTX["interpret"] and impl is None:
+        # keep in lockstep with _pallas_ok so the virtual-mesh validation
+        # exercises the same backend production would pick
         sq, d, skv = q.shape[1], q.shape[3], k.shape[1]
-        use_pallas = sq % 128 == 0 and d <= 256 and skv >= 512 and sq >= 512
+        use_pallas = sq % 128 == 0 and d <= 512 and skv >= 512 and sq >= 512
     if use_pallas and _shard_ctx_applies(q):
         return _shard_mapped_flash(q, k, v, scale)
     if use_pallas:

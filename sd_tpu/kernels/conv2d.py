@@ -382,6 +382,11 @@ def conv3x3_wants_pallas(shape: tuple, c_in: int, c_out: int,
         return False
     if jax.default_backend() != "tpu":
         return False
+    # the kernel's VMEM sizing (window double-buffer + weights) is tuned for
+    # 2-byte dtypes; fp32 shapes would need their own geometry — keep them
+    # on XLA.
+    if jnp.dtype(dtype).itemsize != 2:
+        return False
     B, H, W = shape[0], shape[1], shape[2]
     if c_in < 128 or c_in % 128 != 0 or c_out % 128 != 0:
         return False

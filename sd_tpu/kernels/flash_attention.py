@@ -197,11 +197,13 @@ def _flash_attention_bhsd(
     # tested either way.
     pipelined = (os.environ.get("SD_TPU_FLASH_PIPE", "0") == "1"
                  and n_kv >= 2)
+    p_store = jnp.bfloat16 if v.dtype == jnp.bfloat16 else jnp.float32
     if pipelined:
-        # p/corr double buffers: [2, bq, bk] in the PV-input dtype. Shrink
-        # block_q until the added scratch stays well inside VMEM.
+        # two p buffers of [bq, bk] in the PV-input dtype; shrink block_q
+        # until the added scratch stays well inside VMEM.
+        p_item = jnp.dtype(p_store).itemsize
         bq = block_q
-        while bq > 256 and 2 * bq * block_k * 2 > 6 * 1024 * 1024:
+        while bq > 256 and 2 * bq * block_k * p_item > 6 * 1024 * 1024:
             bq //= 2
         if sq % bq != 0:
             pipelined = False
@@ -238,7 +240,6 @@ def _flash_attention_bhsd(
         _flash_kernel_pipelined, scale=scale, kv_len=true_kv_len,
         block_k=block_k, n_kv=n_kv, p_dtype=p_dtype,
     )
-    p_store = jnp.bfloat16 if v.dtype == jnp.bfloat16 else jnp.float32
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -159,5 +159,5 @@ def geglu_wants_pallas(n_tokens: int, c: int, inner: int,
         return False
     if n_tokens < 2048 or n_tokens % 256 != 0:
         return False
-    weight_bytes = (c * 2 * inner + inner * c) * 2
+    weight_bytes = (c * 2 * inner + inner * c) * jnp.dtype(dtype).itemsize
     return inner % 128 == 0 and weight_bytes <= 11 * 1024 * 1024

@@ -205,13 +205,12 @@ class GumbelQuantize(nn.Module):
         embedding = self.param(
             "embedding", nn.initializers.normal(1.0), (self.n_e, self.e_dim)
         )
+        used = self._used()
         if self.remap is not None:
             # restrict the categorical to the "used" subset: unused logits are
             # masked out of the softmax, the mixture sees zeros there
             # (reference: ldm/tamming/quantize.py:180-187 slices to used rows
             # then scatters back into full_zeros).
-            used = (np.load(self.remap) if isinstance(self.remap, str)
-                    else np.asarray(self.remap, dtype=np.int64))
             mask = np.full((self.n_e,), -np.inf, np.float32)
             mask[used] = 0.0
             logits = logits + jnp.asarray(mask)
@@ -244,7 +243,36 @@ class GumbelQuantize(nn.Module):
                     axis=-1)
         )
         perplexity = _perplexity(idx.reshape(-1), self.n_e)
+        if self.remap is not None:
+            # report indices in the used-subset space (reference remap_to_used,
+            # ldm/tamming/quantize.py:195-196). The mask guarantees argmax
+            # lands in `used`, so a static inverse table suffices.
+            inv = np.zeros((self.n_e,), np.int32)
+            inv[used] = np.arange(len(used), dtype=np.int32)
+            idx = jnp.take(jnp.asarray(inv), idx)
         return z_q, kl, (perplexity, None, idx.astype(jnp.int32))
+
+    def _used(self) -> np.ndarray | None:
+        if self.remap is None:
+            return None
+        return (np.load(self.remap) if isinstance(self.remap, str)
+                else np.asarray(self.remap, dtype=np.int64))
+
+    def get_codebook_entry(self, indices: jax.Array,
+                           shape: tuple | None = None) -> jax.Array:
+        """Lookup codes for sampled indices (reference:
+        ldm/tamming/quantize.py:203-210 — one-hot @ embed with unmap under
+        remap). `indices` are in the remapped (used-subset) space when
+        `remap` is set."""
+        emb = self.get_variable("params", "embedding")
+        used = self._used()
+        flat = indices.reshape(-1)
+        if used is not None:
+            flat = jnp.take(jnp.asarray(used, dtype=jnp.int32), flat)
+        z_q = jnp.take(emb, flat, axis=0)
+        if shape is not None:
+            z_q = z_q.reshape(shape)
+        return z_q
 
 
 class EMAVectorQuantizer(nn.Module):

@@ -106,13 +106,14 @@ def zeros_init_conv(
 def apply_conv3x3(x: jax.Array, k: jax.Array, b: jax.Array,
                   dtype=None) -> jax.Array:
     """Functional 3×3 SAME conv with the Pallas-vs-XLA backend dispatch and
-    nn.Conv dtype semantics (shared by Conv3x3 and the fused ResnetBlock)."""
+    nn.Conv dtype semantics (shared by Conv3x3 and the Upsample conv):
+    dtype=None promotes with the fp32 params, exactly like nn.Conv."""
     from sd_tpu.kernels.conv2d import (conv3x3_same_trainable,
                                        conv3x3_wants_pallas)
 
     C = x.shape[-1]
     O = k.shape[-1]
-    cdt = dtype or x.dtype
+    cdt = dtype or jnp.result_type(x.dtype, k.dtype)
     if conv3x3_wants_pallas(x.shape, C, O, cdt):
         return conv3x3_same_trainable(x.astype(cdt), k.astype(cdt),
                                       b.astype(cdt))
@@ -120,57 +121,6 @@ def apply_conv3x3(x: jax.Array, k: jax.Array, b: jax.Array,
         x.astype(cdt), k.astype(cdt), (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return y + b.astype(cdt)
-
-
-class _ScaleBiasParams(nn.Module):
-    """Parameter holder matching nn.GroupNorm's tree ({scale, bias})."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        s = self.param("scale", nn.initializers.ones, (self.features,),
-                       jnp.float32)
-        b = self.param("bias", nn.initializers.zeros, (self.features,),
-                       jnp.float32)
-        return s, b
-
-
-class GN32Params(nn.Module):
-    """Parameter holder producing GroupNorm32's exact tree
-    (<name>/GroupNorm_0/{scale, bias}) — used where the norm itself runs
-    inside a fused kernel but checkpoints must stay compatible."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        return _ScaleBiasParams(self.features, name="GroupNorm_0")()
-
-
-class ConvParams(nn.Module):
-    """Parameter holder matching nn.Conv's tree ({kernel, bias}) for a 3×3."""
-
-    features: int
-    in_features: int
-
-    @nn.compact
-    def __call__(self):
-        k = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (3, 3, self.in_features, self.features), jnp.float32,
-        )
-        b = self.param("bias", nn.initializers.zeros, (self.features,),
-                       jnp.float32)
-        return k, b
-
-
-def gn32_groups(channels: int, num_groups: int = 32) -> int:
-    """GroupNorm32's group-count clamp (see GroupNorm32.__call__)."""
-    groups = min(num_groups, max(channels // 2, 1))
-    while channels % groups != 0:
-        groups -= 1
-    return groups
 
 
 class Conv3x3(nn.Module):

@@ -33,7 +33,8 @@ def upsample_conv_2x(x: jax.Array, w: jax.Array, b: jax.Array | None,
 
     w: [3, 3, C, O] HWIO kernel of the *logical* 3×3 conv; b: [O] or None.
     """
-    cdt = dtype or x.dtype
+    # dtype=None promotes with the fp32 params, exactly like nn.Conv
+    cdt = dtype or jnp.result_type(x.dtype, w.dtype)
     # rows of the upsampled grid (2i+a-1, 2i+a, 2i+a+1) collapse to low-res
     # rows: a=0 → (i-1, i, i) ; a=1 → (i, i, i+1)
     r0 = jnp.stack([w[0], w[1] + w[2]])          # phase a=0: taps (i-1, i)

@@ -216,7 +216,9 @@ def train_vq(config: dict | str, data_dir: str, out_dir: str = "runs/vq",
     if qt in ("gumbel", "ema"):
         def vq_apply(p, ms, x, rng, temp, update):
             vs = {"params": p, **ms}
-            kw = dict(rng=rng, temp=temp, deterministic=False)
+            rng, drop_rng = jax.random.split(rng)
+            kw = dict(rng=rng, temp=temp, deterministic=False,
+                      rngs={"dropout": drop_rng})
             if update and "codebook" in ms:
                 out, mut = vq.apply(vs, x, update=True, mutable=["codebook"],
                                     **kw)

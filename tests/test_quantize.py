@@ -123,3 +123,43 @@ def test_ema_quantize_no_update_keeps_state(rng):
     data = jax.random.normal(jax.random.PRNGKey(1), (4, 4, 2))
     _, cb2, _, _ = ema_quantize(cb, data, update=False)
     np.testing.assert_array_equal(np.asarray(cb.weight), np.asarray(cb2.weight))
+
+
+def test_gumbel_remap_indices_are_subset_space():
+    """With remap, returned indices live in the used-subset space (reference
+    remap_to_used semantics, ldm/tamming/quantize.py:195-196)."""
+    used = [1, 5, 9, 13]
+    gq = GumbelQuantize(n_e=16, e_dim=4, remap=used)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 8))
+    params = gq.init(jax.random.PRNGKey(1), z)
+    _, _, (_, _, idx) = gq.apply(params, z, deterministic=True)
+    assert int(jnp.max(idx)) < len(used) and int(jnp.min(idx)) >= 0
+
+
+def test_gumbel_get_codebook_entry_roundtrip():
+    """decode-from-indices works for the gumbel family, incl. remap unmap."""
+    used = [1, 5, 9, 13]
+    gq = GumbelQuantize(n_e=16, e_dim=4, remap=used)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 8))
+    params = gq.init(jax.random.PRNGKey(1), z)
+    z_q, _, (_, _, idx) = gq.apply(params, z, deterministic=True)
+    got = gq.apply(params, idx, (2, 4, 4, 4),
+                   method=GumbelQuantize.get_codebook_entry)
+    # deterministic hard path: z_q IS the embedding of idx
+    np.testing.assert_allclose(np.asarray(got), np.asarray(z_q),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_vqmodel_decode_code_gumbel():
+    from sd_tpu.models.autoencoder import VQModel
+
+    m = VQModel(embed_dim=4, n_embed=16, ch=8, ch_mult=(1, 2),
+                num_res_blocks=1, resolution=16, z_channels=4,
+                quantizer_type="gumbel")
+    x = jnp.ones((1, 16, 16, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    _, _, (_, _, idx) = m.apply(variables, x, method=VQModel.encode)
+    out = m.apply(variables, idx.reshape(-1), (1, 8, 8, 4),
+                  method=VQModel.decode_code)
+    assert out.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
