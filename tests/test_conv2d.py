@@ -112,3 +112,22 @@ class TestGnSiluConv:
         for a_, b_ in zip(gp, gx):
             np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                        atol=5e-4, rtol=5e-4)
+
+
+def test_training_trace_disables_pallas_dispatch(monkeypatch):
+    """Inside a training_trace() the conv dispatch must refuse Pallas even
+    for shapes/dtypes that qualify at inference (PROBE_R14/R15 economics)."""
+    from sd_tpu.kernels import conv2d
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    shape = (4, 512, 512, 128)
+    assert conv2d.conv3x3_wants_pallas(shape, 128, 128, jnp.bfloat16)
+    with conv2d.training_trace():
+        assert not conv2d.conv3x3_wants_pallas(shape, 128, 128, jnp.bfloat16)
+        with conv2d.training_trace():  # re-entrant
+            assert not conv2d.conv3x3_wants_pallas(shape, 128, 128,
+                                                   jnp.bfloat16)
+        assert not conv2d.conv3x3_wants_pallas(shape, 128, 128, jnp.bfloat16)
+    assert conv2d.conv3x3_wants_pallas(shape, 128, 128, jnp.bfloat16)
+    # fp32 never dispatches (kernel geometry is 2-byte-tuned)
+    assert not conv2d.conv3x3_wants_pallas(shape, 128, 128, jnp.float32)

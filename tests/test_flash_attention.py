@@ -175,3 +175,21 @@ def test_flash_pipelined_env_off_matches(rng, monkeypatch):
     off = flash_attention(q, k, v, block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(on), np.asarray(off),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_interpret_gate_matches_pallas_ok(monkeypatch):
+    """The interpret-mode shard gate in dot_product_attention must stay in
+    lockstep with _pallas_ok's shape heuristics, so the virtual-mesh
+    validation exercises the backend production picks."""
+    from sd_tpu.kernels import attention as am
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    for sq, skv, d in [(4096, 4096, 40), (1024, 1024, 80), (256, 256, 160),
+                       (4096, 77, 40), (4096, 4096, 512), (4096, 4096, 513),
+                       (100, 4096, 40), (512, 512, 256)]:
+        q = jax.ShapeDtypeStruct((2, sq, 2, d), jnp.bfloat16)
+        k = jax.ShapeDtypeStruct((2, skv, 2, d), jnp.bfloat16)
+        prod = am._pallas_ok(q, k)
+        # the interpret-path condition, copied from dot_product_attention
+        interp = sq % 128 == 0 and d <= 512 and skv >= 512 and sq >= 512
+        assert prod == interp, (sq, skv, d)
