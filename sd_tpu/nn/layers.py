@@ -32,14 +32,21 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         orig_dtype = x.dtype
-        # clamp to the largest divisor of C that is <= num_groups, so tiny
-        # test configs work; production channel counts are multiples of 32.
-        # Also keep >=2 channels per group (1-ch groups degenerate to
-        # instance norm, which cancels per-channel conditioning shifts).
+        # When C is divisible by num_groups, use EXACTLY num_groups — torch
+        # semantics, including the C == num_groups case where each group is a
+        # single channel (per-channel instance norm). That case is real: a
+        # ch=32 codec's last up level and norm_out hit it, and clamping there
+        # diverged 0.2 from the reference decoder (round-3 pipeline-parity
+        # bisection). Only for C NOT divisible (tiny test configs torch's
+        # GroupNorm would reject outright) fall back to the largest divisor
+        # of C that keeps >=2 channels per group.
         channels = x.shape[-1]
-        groups = min(self.num_groups, max(channels // 2, 1))
-        while channels % groups != 0:
-            groups -= 1
+        if channels % self.num_groups == 0:
+            groups = self.num_groups
+        else:
+            groups = min(self.num_groups, max(channels // 2, 1))
+            while channels % groups != 0:
+                groups -= 1
 
         # (A per-channel-first stats rewrite was probed and REVERTED: it
         # measured 2.03 ms vs flax's 1.76 ms at [4,512,512,128] on v5e
