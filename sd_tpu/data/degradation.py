@@ -315,7 +315,12 @@ def degradation_bsrgan_variant(
         # slot 6 = camera ISP model: commented out in the reference too
 
     img = add_jpeg_noise(img, rng)
-    lq = resize(img, (h // sf_ori, w // sf_ori))  # enforce exact target size
+    # Divergence from the reference (bsrgan.py:530-613): the reference leaves
+    # whatever size slot-3 rounding produced; we enforce the exact target so
+    # batches collate — but only when the shape actually differs, so the
+    # terminal JPEG stage is not silently resampled in the common case.
+    target = (h // sf_ori, w // sf_ori)
+    lq = img if img.shape[:2] == target else resize(img, target)
     return lq.astype(np.float32), hq
 
 

@@ -143,8 +143,9 @@ class DDIMSampler:
             import numpy as _np
 
             stochastic = bool(_np.any(_np.asarray(dd.sigmas) != 0.0))
-        except Exception:
-            pass
+        except (jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError):
+            pass  # dd built inside jit: keep the (correct) noise path
 
         def step(carry, index):
             img, rng = carry

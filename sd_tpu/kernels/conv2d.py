@@ -353,8 +353,18 @@ gn_silu_conv3x3_trainable.defvjp(_gnsc_fwd, _gnsc_bwd)
 # on the KL-GAN train step even with the training-XLA VJP (PROBE_R14
 # `gan_ab_*`: 271.5 vs 202.3 ms) — the primal kernel still lands in the
 # non-differentiated parts of the training graph and schedules poorly there.
-# Train-step builders set this flag around their traced bodies.
-_TRAIN_CTX = {"training": False}
+# Train-step builders set this flag around their traced bodies. A
+# ContextVar (not a module global) so concurrent traces in different
+# threads/tasks cannot leak the flag into each other's graphs. CAVEAT for
+# user-authored training loops: this is a TRACE-time gate — custom jitted
+# train steps that are not built through sd_tpu.train must wrap their own
+# tracing in `training_trace()` (or set SD_TPU_PALLAS_CONV=0) or the Pallas
+# conv will be traced into the training graph, re-introducing the measured
+# ~70 ms regression. Documented in docs/KERNELS.md.
+import contextvars as _contextvars
+
+_TRAIN_CTX_VAR = _contextvars.ContextVar("sd_tpu_training_trace",
+                                         default=False)
 
 
 class training_trace:
@@ -362,11 +372,10 @@ class training_trace:
     dispatch to XLA for the whole traced body."""
 
     def __enter__(self):
-        self._prev = _TRAIN_CTX["training"]
-        _TRAIN_CTX["training"] = True
+        self._token = _TRAIN_CTX_VAR.set(True)
 
     def __exit__(self, *exc):
-        _TRAIN_CTX["training"] = self._prev
+        _TRAIN_CTX_VAR.reset(self._token)
         return False
 
 
@@ -376,7 +385,7 @@ def conv3x3_wants_pallas(shape: tuple, c_in: int, c_out: int,
     big spatial maps with MXU-filling channel counts."""
     import os
 
-    if _TRAIN_CTX["training"]:
+    if _TRAIN_CTX_VAR.get():
         return False
     if os.environ.get("SD_TPU_PALLAS_CONV", "1") != "1":
         return False

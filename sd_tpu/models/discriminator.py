@@ -72,10 +72,14 @@ class NLayerDiscriminator(nn.Module):
         def norm(h, name):
             if self.use_actnorm:
                 return ActNorm(name=name)(h)
-            # batch-stat mode inside the jitted GAN step (no running stats)
+            # train=True: batch-stat mode (running stats updated when applied
+            # with mutable=["batch_stats"] — the jitted GAN step does this);
+            # train=False: eval mode on the carried running stats, matching
+            # torch BatchNorm2d defaults (momentum 0.1 torch == 0.9 flax;
+            # reference: Discriminator/discriminator.py:239-289).
             return nn.BatchNorm(
-                use_running_average=False, use_bias=True, use_scale=True,
-                dtype=jnp.float32, name=name,
+                use_running_average=not train, use_bias=True, use_scale=True,
+                momentum=0.9, dtype=jnp.float32, name=name,
             )(h)
 
         kw, pad = (4, 4), [(1, 1), (1, 1)]

@@ -231,7 +231,17 @@ def zero_state_sharding(
     """Sharding tree for a TrainState: params keep their (TP or replicated)
     layout; Adam mu/nu and the EMA shadow are ZeRO-sharded over `data_axis`;
     scalars replicate. Returns a TrainState-of-NamedShardings usable as
-    make_parallel_train_step's state_sharding."""
+    make_parallel_train_step's state_sharding.
+
+    Cost model (the ZeRO-1 trade): because grads come out of the psum
+    matching the PARAM layout while mu/nu/EMA are data-axis-sharded, GSPMD
+    reshards the gradient tree (dynamic-slice down to the shard, all-gather
+    back for the param update) every step. That per-step gather traffic —
+    one params-worth of bytes each way over ICI on the data axis — is the
+    price paid for not replicating ~3 params-worth of fp32 state in HBM.
+    Worth it whenever HBM is the binding constraint (the BASELINE.md
+    Adam+EMA squeeze); for small models on fat-HBM chips, pass n_data=1
+    layouts (plain infer_param_sharding) instead."""
     import dataclasses as _dc
 
     import optax

@@ -53,6 +53,53 @@ class MetricsLogger:
             self._f.close()
 
 
+def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 2.0) -> float:
+    """Peak signal-to-noise ratio in dB between image batches in [-1, 1]
+    (data_range 2.0). The reference eyeballs reconstructions
+    (VAE/test/test.py:200-267); this is the quantitative fence used by
+    tests/test_quality.py."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(data_range**2 / mse))
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    x = np.arange(size) - size // 2
+    g = np.exp(-(x**2) / (2 * sigma**2))
+    w = np.outer(g, g)
+    return w / w.sum()
+
+
+def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 2.0) -> float:
+    """Mean SSIM over a batch of NHWC images (channels averaged), standard
+    11×11 gaussian window, Wang et al. constants."""
+    from scipy.signal import convolve2d
+
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.ndim == 3:
+        a, b = a[None], b[None]
+    k1, k2 = 0.01, 0.03
+    c1, c2 = (k1 * data_range) ** 2, (k2 * data_range) ** 2
+    w = _gaussian_window()
+    conv = lambda x: convolve2d(x, w, mode="valid")
+    vals = []
+    for i in range(a.shape[0]):
+        for c in range(a.shape[-1]):
+            x, y = a[i, :, :, c], b[i, :, :, c]
+            mx, my = conv(x), conv(y)
+            vx = conv(x * x) - mx**2
+            vy = conv(y * y) - my**2
+            vxy = conv(x * y) - mx * my
+            s = ((2 * mx * my + c1) * (2 * vxy + c2)) / (
+                (mx**2 + my**2 + c1) * (vx + vy + c2))
+            vals.append(np.mean(s))
+    return float(np.mean(vals))
+
+
 def ismap(x) -> bool:
     """4D with >3 channels — a segmentation-style conditioning map
     (reference: ldm/utils.py ismap; NHWC here)."""

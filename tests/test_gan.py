@@ -73,6 +73,36 @@ def test_discriminator_batchnorm_mode(rng):
     assert logits.shape[-1] == 1
 
 
+def test_discriminator_eval_mode_uses_running_stats(rng):
+    """Pins the train-vs-eval BatchNorm semantics (torch defaults,
+    reference Discriminator/discriminator.py:239-289): a train-mode apply
+    UPDATES the running stats; eval mode normalizes WITH them, so on a
+    shifted input the two modes disagree."""
+    m = NLayerDiscriminator(ndf=8, n_layers=2, use_actnorm=False)
+    x = jax.random.normal(rng, (4, 32, 32, 3)) * 2.0 + 1.5  # non-unit stats
+    variables = m.init(rng, x)
+    stats0 = variables["batch_stats"]
+
+    train_logits, mut = m.apply(variables, x, mutable=["batch_stats"])
+    stats1 = mut["batch_stats"]
+    # running stats moved toward the batch stats (momentum 0.9)
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), stats0, stats1)
+    assert max(jax.tree.leaves(moved)) > 1e-3
+
+    eval_logits = m.apply(
+        {"params": variables["params"], "batch_stats": stats1}, x,
+        train=False)
+    # eval stats (one 0.9-momentum step from init) != the batch's own stats
+    assert float(jnp.max(jnp.abs(eval_logits - train_logits))) > 1e-4
+
+    # eval mode must not request mutation and must be deterministic
+    again = m.apply(
+        {"params": variables["params"], "batch_stats": stats1}, x,
+        train=False)
+    assert jnp.array_equal(eval_logits, again)
+
+
 def test_actnorm_ddi_normalizes(rng):
     m = ActNorm()
     x = jax.random.normal(rng, (8, 4, 4, 3)) * 3.0 + 5.0
