@@ -162,6 +162,46 @@ def packed_flash_attention(q, k, v, *, scale: float | None = None):
     return out.reshape(B, H, S, D)
 
 
+# In-kernel head-packed layout: projections stay [B, S, H·D] end to end and
+# the kernel slices heads in VMEM (flash_attention_hpacked) — no transpose
+# enters or leaves. Inference-only (no vjp); training traces and TP meshes
+# fall through to the standard path.
+_HPACKED_CTX = {"force_interpret": False}  # tests: exercise the path on CPU
+
+
+def hpacked_flash_ok(sq: int, skv: int, heads: int, d: int) -> bool:
+    """True when the [B,S,H·D] in-kernel head-sliced variant should be used.
+
+    OPT-IN (SD_TPU_ATTN_HPACKED=1) until the in-model A/B lands. Same shape
+    gates as _pallas_ok."""
+    if _HPACKED_CTX["force_interpret"]:
+        return True
+    if os.environ.get("SD_TPU_ATTN_HPACKED", "0") != "1":
+        return False
+    if os.environ.get("SD_TPU_ATTN_IMPL") == "xla":
+        return False
+    if _SHARD_CTX["mesh"] is not None:
+        return False
+    from sd_tpu.kernels.conv2d import _TRAIN_CTX_VAR
+
+    if _TRAIN_CTX_VAR.get():  # no custom_vjp on the packed kernel
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return sq % 128 == 0 and d <= 512 and skv >= 512 and sq >= 512
+
+
+def hpacked_flash_attention(q, k, v, heads: int, *, scale=None):
+    """Flash attention over projection-native [B, S, H·D] tensors."""
+    from sd_tpu.kernels.flash_attention import flash_attention_hpacked
+
+    p_dtype = (jnp.bfloat16 if os.environ.get("SD_TPU_FLASH_EXP") == "bf16"
+               else jnp.float32)
+    return flash_attention_hpacked(
+        q, k, v, heads, scale=scale,
+        interpret=_HPACKED_CTX["force_interpret"], softmax_dtype=p_dtype)
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -196,8 +236,13 @@ def dot_product_attention(
 
         # SD_TPU_FLASH_EXP=bf16 runs the (inference-only) softmax exp2 in
         # bfloat16 — the differentiated path stays fp32 either way.
+        # SD_TPU_FLASH_PV=int8 runs the (inference-only) PV contraction on
+        # the int8 MXU (2× rate, ~1e-2 error bound — see _pv_int8).
         p_dtype = (jnp.bfloat16
                    if os.environ.get("SD_TPU_FLASH_EXP") == "bf16"
                    else jnp.float32)
-        return flash_attention(q, k, v, scale=scale, softmax_dtype=p_dtype)
+        pv_quant = ("int8" if os.environ.get("SD_TPU_FLASH_PV") == "int8"
+                    else "none")
+        return flash_attention(q, k, v, scale=scale, softmax_dtype=p_dtype,
+                               pv_quant=pv_quant)
     return _xla_attention(q, k, v, scale)

@@ -41,9 +41,31 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pv_int8(p, v):
+    """PV contraction on the int8 MXU (2× the bf16 rate on v5e; the PV
+    contraction dim is the kv tile, which FILLS the MXU — unlike the d=40
+    QK contraction, so int8 genuinely doubles it. SageAttention-style
+    per-tile quantization): p∈[0,1] scales by 127, v by a per-column
+    max-abs. Returns (pv, p_row_sum): the row sum is computed from the
+    QUANTIZED p so numerator and softmax denominator stay consistent
+    (without it the dropped sub-1/254 tail mass biases the output low).
+    Error contract (measured, random attention): ~5% worst ELEMENT from the
+    p truncation, <1% mean. Inference-only knob."""
+    p_i8 = (p * 127.0 + 0.5).astype(jnp.int8)            # p >= 0
+    p_sum = jnp.sum(p_i8.astype(jnp.float32), axis=1, keepdims=True) / 127.0
+    v32 = v.astype(jnp.float32)
+    vs = jnp.max(jnp.abs(v32), axis=0, keepdims=True) / 127.0   # [1, d]
+    v_i8 = jnp.round(v32 / jnp.maximum(vs, 1e-30)).astype(jnp.int8)
+    pv = jax.lax.dot_general(
+        p_i8, v_i8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return pv.astype(jnp.float32) * (vs / 127.0), p_sum
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                   scale: float, kv_len: int, block_k: int,
-                  p_dtype=jnp.float32):
+                  p_dtype=jnp.float32, pv_quant: str = "none"):
     """One (bh, q-tile, kv-tile) grid step of online-softmax attention.
 
     `kv_len` is the TRUE (unpadded) kv length; zero-padded kv positions in the
@@ -77,13 +99,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     # at reduced precision; the row sum still accumulates in fp32.
     p = jnp.exp2((s - m_new).astype(p_dtype))              # [block_q, block_k]
     corr = jnp.exp2(m_prev - m_new)                        # [block_q, 1]
-    l_new = corr * l_ref[:, :1] + jnp.sum(
-        p, axis=1, keepdims=True, dtype=jnp.float32)
 
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if pv_quant == "int8":
+        pv, p_sum = _pv_int8(p.astype(jnp.float32), v_ref[0])
+    else:
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p_sum = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+    l_new = corr * l_ref[:, :1] + p_sum
     acc_ref[:] = acc_ref[:] * corr + pv
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
@@ -179,7 +204,7 @@ def _flash_kernel_pipelined(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref,
 def _flash_attention_bhsd(
     q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
     block_q: int, block_k: int, true_kv_len: int, interpret: bool,
-    p_dtype=jnp.float32,
+    p_dtype=jnp.float32, pv_quant: str = "none",
 ) -> jax.Array:
     """Flash attention over [BH, S, D] tensors (already padded/aligned)."""
     import os
@@ -214,7 +239,7 @@ def _flash_attention_bhsd(
         grid = (bh, sq // block_q, n_kv)
         kernel = functools.partial(
             _flash_kernel, scale=scale, kv_len=true_kv_len, block_k=block_k,
-            p_dtype=p_dtype,
+            p_dtype=p_dtype, pv_quant=pv_quant,
         )
         return pl.pallas_call(
             kernel,
@@ -263,6 +288,121 @@ def _flash_attention_bhsd(
         ],
         interpret=interpret,
     )(q, k, v)
+
+
+def _flash_hpacked_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+                          *, scale: float, kv_len: int, block_k: int,
+                          heads: int, p_dtype=jnp.float32):
+    """Head-packed variant: tensors stay in the projection-native
+    [B, S, H·D] layout and each grid step loops the heads, slicing
+    [·, h·d:(h+1)·d] columns of the VMEM-resident tiles (ROADMAP round-2:
+    the one untried idea against the ~2.8 ms/step [B,S,H,D]→[B·H,S,D]
+    transpose glue). The per-head running max/sum live in lane column h of
+    shared [block_q, LANES] scratch. Grid = (B, q-tiles, kv-tiles) — H×
+    fewer grid steps than the bhsd kernel; the MXU work is identical
+    (block-diagonal heads cannot share tiles — measured dead end)."""
+    j = pl.program_id(2)
+    n_j = pl.num_programs(2)
+    d = q_ref.shape[-1] // heads
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    ragged = kv_len % block_k != 0
+    if ragged:
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (q_ref.shape[1], block_k), 1)
+        kv_mask = j * block_k + col < kv_len
+
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[0][:, sl]                                # [block_q, d]
+        k = k_ref[0][:, sl]                                # [block_k, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (scale * LOG2E)
+        if ragged:
+            s = jnp.where(kv_mask, s, NEG_INF)
+
+        m_prev = m_ref[:, h:h + 1]                         # [block_q, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp2((s - m_new).astype(p_dtype))
+        corr = jnp.exp2(m_prev - m_new)
+        l_ref[:, h:h + 1] = (corr * l_ref[:, h:h + 1]
+                             + jnp.sum(p, axis=1, keepdims=True,
+                                       dtype=jnp.float32))
+        m_ref[:, h:h + 1] = m_new
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0][:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:, sl] = acc_ref[:, sl] * corr + pv
+
+    @pl.when(j == n_j - 1)
+    def _finalize():
+        for h in range(heads):
+            sl = slice(h * d, (h + 1) * d)
+            l = jnp.maximum(l_ref[:, h:h + 1], 1e-30)
+            o_ref[0, :, sl] = (acc_ref[:, sl] / l).astype(o_ref.dtype)
+
+
+def flash_attention_hpacked(
+    q: jax.Array, k: jax.Array, v: jax.Array, heads: int, *,
+    scale: float | None = None, block_q: int = 1024, block_k: int = 1024,
+    interpret: bool = False, softmax_dtype=jnp.float32,
+) -> jax.Array:
+    """Flash attention over projection-native [B, S, H·D] tensors: no
+    [B,S,H,D] transpose enters or leaves the kernel (see
+    _flash_hpacked_kernel). INFERENCE-ONLY — no custom_vjp; the training
+    path uses `flash_attention`. Non-causal, like the rest of the family."""
+    b, sq, hd = q.shape
+    skv = k.shape[1]
+    d = hd // heads
+    assert hd == heads * d
+    if scale is None:
+        scale = d ** -0.5
+
+    bq = min(block_q, _round_up(sq, 8))
+    bk = min(block_k, _round_up(skv, LANES))
+    # VMEM ceiling: acc [bq, H·D] fp32 + in/out tiles (double-buffered)
+    while bq * hd * 6 > 8 * 1024 * 1024 and bq > 256:
+        bq //= 2
+    while bk * hd * 4 > 4 * 1024 * 1024 and bk > 256:
+        bk //= 2
+    sq_pad, skv_pad = _round_up(sq, bq), _round_up(skv, bk)
+    if sq_pad != sq:
+        q = jnp.pad(q, [(0, 0), (0, sq_pad - sq), (0, 0)])
+    if skv_pad != skv:
+        k = jnp.pad(k, [(0, 0), (0, skv_pad - skv), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, skv_pad - skv), (0, 0)])
+
+    kernel = functools.partial(
+        _flash_hpacked_kernel, scale=float(scale), kv_len=skv, block_k=bk,
+        heads=heads, p_dtype=jnp.dtype(softmax_dtype),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, sq_pad // bq, skv_pad // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, hd), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, hd), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, hd), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, hd), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, sq_pad, hd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, hd), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :sq]
 
 
 def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref,
@@ -400,7 +540,7 @@ def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
 def _flash_forward(
     q: jax.Array, k: jax.Array, v: jax.Array, *,
     scale: float, block_q: int, block_k: int, interpret: bool,
-    p_dtype=jnp.float32,
+    p_dtype=jnp.float32, pv_quant: str = "none",
 ) -> jax.Array:
     b, sq, h, d = q.shape
     skv = k.shape[1]
@@ -441,17 +581,17 @@ def _flash_forward(
         vf = jnp.pad(vf, [(0, 0), (0, skv_pad - skv), (0, 0)])
 
     out = _flash_attention_bhsd(qf, kf, vf, scale, bq, bk, skv, interpret,
-                                p_dtype)
+                                p_dtype, pv_quant)
     out = out[:, :sq]
     return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _flash_attention_core(q, k, v, scale, block_q, block_k, interpret,
-                          p_dtype=jnp.float32):
+                          p_dtype=jnp.float32, pv_quant="none"):
     return _flash_forward(
         q, k, v, scale=scale, block_q=block_q, block_k=block_k,
-        interpret=interpret, p_dtype=p_dtype,
+        interpret=interpret, p_dtype=p_dtype, pv_quant=pv_quant,
     )
 
 
@@ -489,11 +629,12 @@ def _use_pallas_bwd() -> bool:
     return os.environ.get("SD_TPU_FLASH_BWD", "pallas") == "pallas"
 
 
-def _fwd(q, k, v, scale, block_q, block_k, interpret, p_dtype=jnp.float32):
+def _fwd(q, k, v, scale, block_q, block_k, interpret, p_dtype=jnp.float32,
+         pv_quant="none"):
     """Forward for the VJP: same kernel family but also emits the base-2
     row lse so the backward never re-derives the softmax normalizer.
-    p_dtype is ignored here — the differentiated path always runs the
-    softmax in fp32 (training numerics contract)."""
+    p_dtype/pv_quant are ignored here — the differentiated path always runs
+    the softmax and PV in fp32/bf16 (training numerics contract)."""
     if not _use_pallas_bwd():
         out = _flash_attention_core(q, k, v, scale, block_q, block_k,
                                     interpret)
@@ -586,7 +727,7 @@ def _bwd_chunked(scale, block_q, res, g):
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-def _bwd(scale, block_q, block_k, interpret, p_dtype, res, g):
+def _bwd(scale, block_q, block_k, interpret, p_dtype, pv_quant, res, g):
     """Pallas flash backward: a dq kernel (kv innermost) and a dk/dv kernel
     (q innermost), both recomputing p from the saved base-2 lse — no S×S
     tensor is ever materialized (the dense logits are ~4 GB fp32 at the SD
@@ -692,6 +833,7 @@ def flash_attention(
     block_k: int = 1024,
     interpret: bool = False,
     softmax_dtype=jnp.float32,
+    pv_quant: str = "none",
 ) -> jax.Array:
     # default blocks measured on v5e at the SD L0 shape (B8/S4096/H8/D40):
     # q256/k512 → q512/k1024 = 2.0x → q1024 +5% → q2048 +3% (fewer grid
@@ -701,8 +843,12 @@ def flash_attention(
     softmax_dtype: dtype the exp2 runs in (inference-only knob; the
     differentiated path always uses fp32). bfloat16 trades ~2^-8 relative
     probability error for VPU-exp throughput at small head dims.
+    pv_quant: "int8" runs the PV contraction on the int8 MXU (2× rate,
+    ~1e-2 worst-case relative error — inference-only knob, ignored by the
+    differentiated path; see _pv_int8).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     return _flash_attention_core(q, k, v, float(scale), block_q, block_k,
-                                 interpret, jnp.dtype(softmax_dtype))
+                                 interpret, jnp.dtype(softmax_dtype),
+                                 pv_quant)

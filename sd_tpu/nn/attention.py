@@ -138,7 +138,9 @@ class CrossAttention(nn.Module):
         *,
         deterministic: bool = True,
     ) -> jax.Array:
-        from sd_tpu.kernels.attention import (packed_flash_attention,
+        from sd_tpu.kernels.attention import (hpacked_flash_attention,
+                                              hpacked_flash_ok,
+                                              packed_flash_attention,
                                               packed_flash_ok)
 
         B, N, C = x.shape
@@ -154,6 +156,19 @@ class CrossAttention(nn.Module):
         wo, bo = _DenseParams(C, inner, name="to_out")()
         cdt = self.dtype or jnp.result_type(x.dtype, jnp.float32)
         xc, cc = x.astype(cdt), ctx.astype(cdt)
+
+        if (mask is None and context is None
+                and hpacked_flash_ok(N, M, h, d)):
+            # projection-native [B, N, H·D] end to end: the head split and
+            # merge happen as VMEM column slices inside the kernel — zero
+            # layout ops around it (see kernels/flash_attention.py
+            # _flash_hpacked_kernel).
+            q = xc @ wq.astype(cdt)
+            k = cc @ wk.astype(cdt)
+            v = cc @ wv.astype(cdt)
+            o = hpacked_flash_attention(q, k, v, h)
+            out = o @ wo.astype(cdt) + bo.astype(cdt)
+            return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
         if (mask is None and context is None
                 and packed_flash_ok(N, M, h, d)):

@@ -154,6 +154,99 @@ def test_packed_layout_matches_standard(rng, monkeypatch):
     assert p["to_out"]["kernel"].shape == (64, 64)
 
 
+def test_hpacked_kernel_matches_xla(rng):
+    """The [B,S,H·D] in-kernel head-sliced variant vs the unpacked XLA
+    reference — aligned and ragged kv (77-token context)."""
+    from sd_tpu.kernels.flash_attention import _xla_ref, flash_attention_hpacked
+
+    B, S, H, D = 2, 256, 4, 40
+    keys = jax.random.split(rng, 3)
+    qp, kp, vp = (jax.random.normal(k, (B, S, H * D)) for k in keys)
+    unp = lambda x: x.reshape(B, x.shape[1], H, D)
+
+    out = flash_attention_hpacked(qp, kp, vp, H, block_q=128, block_k=128,
+                                  interpret=True)
+    ref = _xla_ref(unp(qp), unp(kp), unp(vp), D**-0.5).reshape(B, S, H * D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    k77, v77 = kp[:, :77], vp[:, :77]
+    out = flash_attention_hpacked(qp, k77, v77, H, block_q=128, block_k=128,
+                                  interpret=True)
+    ref = _xla_ref(unp(qp), unp(k77), unp(v77), D**-0.5).reshape(B, S, H * D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_hpacked_module_path_matches_standard(rng, monkeypatch):
+    """CrossAttention's projection-native [B,S,H·D] path (no layout ops
+    around the kernel) must match the standard path bit-for-tolerance, with
+    the identical param tree."""
+    from sd_tpu.kernels import attention as attn_mod
+    from sd_tpu.nn.attention import CrossAttention
+
+    ca = CrossAttention(heads=2, dim_head=32, dtype=jnp.float32)
+    x = jax.random.normal(rng, (2, 512, 64))
+    params = ca.init(jax.random.PRNGKey(0), x)
+    want = ca.apply(params, x)  # CPU → standard XLA path
+
+    monkeypatch.setitem(attn_mod._HPACKED_CTX, "force_interpret", True)
+    got = ca.apply(params, x)   # hpacked path, kernel in interpret mode
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_pv_int8_quality_bounded(rng):
+    """The opt-in int8 PV contraction must stay inside its documented error
+    bound vs the fp32 kernel (per-tile SageAttention-style quantization,
+    ~1e-2 relative) and pass gradients through untouched (the vjp forward
+    ignores pv_quant)."""
+    from sd_tpu.kernels.flash_attention import _xla_ref, flash_attention
+
+    B, S, H, D = 1, 256, 2, 40
+    keys = jax.random.split(rng, 3)
+    q, k, v = (jax.random.normal(kk, (B, S, H, D)) for kk in keys)
+
+    ref = _xla_ref(q, k, v, D**-0.5)
+    out = flash_attention(q, k, v, block_q=128, block_k=128,
+                          interpret=True, pv_quant="int8")
+    scale = float(jnp.max(jnp.abs(ref)))
+    err_max = float(jnp.max(jnp.abs(out - ref))) / scale
+    err_mean = float(jnp.mean(jnp.abs(out - ref))) / scale
+    # int8 p (127 levels below the row max) bounds the worst ELEMENT around
+    # ~5% on random attention (measured; the tail probability mass
+    # truncates) while the mean error stays well under 1% — the documented
+    # contract of this inference-only knob.
+    assert err_max < 8e-2, err_max
+    assert err_mean < 1e-2, err_mean
+    # and clearly coarser than the exact kernel (i.e. the int8 path ran)
+    exact = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    assert err_max > float(jnp.max(jnp.abs(exact - ref))) / scale
+
+    # gradients: identical to the fp32 path (training numerics contract)
+    loss_q = lambda args: jnp.sum(flash_attention(
+        *args, block_q=128, block_k=128, interpret=True,
+        pv_quant="int8") ** 2)
+    loss_f = lambda args: jnp.sum(flash_attention(
+        *args, block_q=128, block_k=128, interpret=True) ** 2)
+    gq = jax.grad(loss_q)((q, k, v))
+    gf = jax.grad(loss_f)((q, k, v))
+    for a, b in zip(gq, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+
+
+def test_hpacked_gate_excludes_training_traces(monkeypatch):
+    """hpacked has no vjp: the gate must refuse inside training_trace() and
+    on TP meshes even when the env knob is on."""
+    from sd_tpu.kernels import attention as attn_mod
+    from sd_tpu.kernels.conv2d import training_trace
+
+    monkeypatch.setenv("SD_TPU_ATTN_HPACKED", "1")
+    with training_trace():
+        assert not attn_mod.hpacked_flash_ok(1024, 1024, 8, 40)
+
+
 @pytest.mark.parametrize("skv,block_k", [(512, 128), (300, 128), (1024, 256)])
 def test_flash_pipelined_matches_xla(rng, skv, block_k, monkeypatch):
     """The (opt-in) software-pipelined kv sweep (PV deferred one tile, drain
