@@ -197,9 +197,12 @@ def hpacked_flash_attention(q, k, v, heads: int, *, scale=None):
 
     p_dtype = (jnp.bfloat16 if os.environ.get("SD_TPU_FLASH_EXP") == "bf16"
                else jnp.float32)
+    pv_quant = ("int8" if os.environ.get("SD_TPU_FLASH_PV") == "int8"
+                else "none")
     return flash_attention_hpacked(
         q, k, v, heads, scale=scale,
-        interpret=_HPACKED_CTX["force_interpret"], softmax_dtype=p_dtype)
+        interpret=_HPACKED_CTX["force_interpret"], softmax_dtype=p_dtype,
+        pv_quant=pv_quant)
 
 
 def dot_product_attention(

@@ -292,7 +292,8 @@ def _flash_attention_bhsd(
 
 def _flash_hpacked_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
                           *, scale: float, kv_len: int, block_k: int,
-                          heads: int, p_dtype=jnp.float32):
+                          heads: int, p_dtype=jnp.float32,
+                          pv_quant: str = "none"):
     """Head-packed variant: tensors stay in the projection-native
     [B, S, H·D] layout and each grid step loops the heads, slicing
     [·, h·d:(h+1)·d] columns of the VMEM-resident tiles (ROADMAP round-2:
@@ -333,14 +334,17 @@ def _flash_hpacked_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp2((s - m_new).astype(p_dtype))
         corr = jnp.exp2(m_prev - m_new)
-        l_ref[:, h:h + 1] = (corr * l_ref[:, h:h + 1]
-                             + jnp.sum(p, axis=1, keepdims=True,
-                                       dtype=jnp.float32))
+        if pv_quant == "int8":
+            pv, p_sum = _pv_int8(p.astype(jnp.float32), v_ref[0][:, sl])
+        else:
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0][:, sl],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p_sum = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+        l_ref[:, h:h + 1] = corr * l_ref[:, h:h + 1] + p_sum
         m_ref[:, h:h + 1] = m_new
-        pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0][:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
         acc_ref[:, sl] = acc_ref[:, sl] * corr + pv
 
     @pl.when(j == n_j - 1)
@@ -355,6 +359,7 @@ def flash_attention_hpacked(
     q: jax.Array, k: jax.Array, v: jax.Array, heads: int, *,
     scale: float | None = None, block_q: int = 1024, block_k: int = 1024,
     interpret: bool = False, softmax_dtype=jnp.float32,
+    pv_quant: str = "none",
 ) -> jax.Array:
     """Flash attention over projection-native [B, S, H·D] tensors: no
     [B,S,H,D] transpose enters or leaves the kernel (see
@@ -383,7 +388,7 @@ def flash_attention_hpacked(
 
     kernel = functools.partial(
         _flash_hpacked_kernel, scale=float(scale), kv_len=skv, block_k=bk,
-        heads=heads, p_dtype=jnp.dtype(softmax_dtype),
+        heads=heads, p_dtype=jnp.dtype(softmax_dtype), pv_quant=pv_quant,
     )
     out = pl.pallas_call(
         kernel,
