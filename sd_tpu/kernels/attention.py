@@ -172,11 +172,13 @@ _HPACKED_CTX = {"force_interpret": False}  # tests: exercise the path on CPU
 def hpacked_flash_ok(sq: int, skv: int, heads: int, d: int) -> bool:
     """True when the [B,S,H·D] in-kernel head-sliced variant should be used.
 
-    OPT-IN (SD_TPU_ATTN_HPACKED=1) until the in-model A/B lands. Same shape
-    gates as _pallas_ok."""
+    DEFAULT ON for inference (opt out with SD_TPU_ATTN_HPACKED=0): the
+    interleaved in-model A/B (PROBE_R17.jsonl) measured UNet fwd B8
+    61.72 → 59.43 ms (−2.3 ms, the projection/layout glue the variant was
+    built to kill). Same shape gates as _pallas_ok."""
     if _HPACKED_CTX["force_interpret"]:
         return True
-    if os.environ.get("SD_TPU_ATTN_HPACKED", "0") != "1":
+    if os.environ.get("SD_TPU_ATTN_HPACKED", "1") != "1":
         return False
     if os.environ.get("SD_TPU_ATTN_IMPL") == "xla":
         return False

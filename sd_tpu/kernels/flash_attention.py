@@ -379,6 +379,14 @@ def flash_attention_hpacked(
         bq //= 2
     while bk * hd * 4 > 4 * 1024 * 1024 and bk > 256:
         bk //= 2
+    # Scoped-vmem stack ceiling: the per-head body materializes ~6 live
+    # [bq, bk] fp32 intermediates (s, p, mask, quant temps); Mosaic reuses
+    # them ACROSS heads but not within one body. Measured: bq=bk=1024 →
+    # 25.4M scoped > the 16M limit. Cap bq*bk at 512K elements (~13M).
+    while bq * bk > 512 * 1024 and bq > 256:
+        bq //= 2
+    while bq * bk > 512 * 1024 and bk > 256:
+        bk //= 2
     sq_pad, skv_pad = _round_up(sq, bq), _round_up(skv, bk)
     if sq_pad != sq:
         q = jnp.pad(q, [(0, 0), (0, sq_pad - sq), (0, 0)])
