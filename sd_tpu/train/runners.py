@@ -168,9 +168,10 @@ def train_kl_vae(config: dict | str, data_dir: str, out_dir: str = "runs/klvae",
                                      loss_cfg)
     state = _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
               max_steps=max_steps,
-              sampler=lambda st, r: vae.apply(
-                  {"params": st.params_g["model"]},
-                  _peek_batch(cfg, data_dir), r)[0])
+              sampler=_recon_eval_sampler(
+                  cfg, data_dir,
+                  lambda st, x, r: vae.apply(
+                      {"params": st.params_g["model"]}, x, r)[0]))
     return state
 
 
@@ -238,8 +239,19 @@ def train_vq(config: dict | str, data_dir: str, out_dir: str = "runs/vq",
         vq_apply = lambda p, x: vq.apply({"params": p}, x)
         step_fn = make_vq_gan_train_step(vq_apply, disc, lpips_fn, opt_g,
                                          opt_d, loss_cfg)
+
+    if qt in ("gumbel", "ema"):
+        def _recon(st, x, r):
+            vs = {"params": st.params_g["model"], **st.model_state}
+            return vq.apply(vs, x, update=False, rng=r,
+                            temp=getattr(vq, "temp_init", 1.0),
+                            deterministic=True)[0]
+    else:
+        _recon = lambda st, x, r: vq.apply(
+            {"params": st.params_g["model"]}, x)[0]
     state = _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
-              max_steps=max_steps)
+              max_steps=max_steps,
+              sampler=_recon_eval_sampler(cfg, data_dir, _recon))
     return state
 
 
@@ -379,6 +391,27 @@ def _peek_batch(cfg, data_dir):
     raise RuntimeError("empty dataset")
 
 
+def _recon_eval_sampler(cfg, data_dir, recon_fn):
+    """Eval sampler for the autoencoder trainers: reconstruct a FIXED peek
+    batch and return (recons, {psnr, ssim}) so _run_loop logs quality as a
+    curve (eval_psnr/eval_ssim in metrics.jsonl), not just sample grids.
+    The reference eyeballs reconstructions (VAE/test/test.py:200-267)."""
+    from sd_tpu.train.metrics import psnr, ssim
+
+    ref_holder = []
+
+    def sampler(state, r):
+        if not ref_holder:
+            ref_holder.append(_peek_batch(cfg, data_dir))
+        ref = ref_holder[0]
+        out = recon_fn(state, ref, r)
+        a = np.asarray(out, np.float32)
+        b = np.asarray(ref, np.float32)
+        return out, {"psnr": psnr(a, b), "ssim": ssim(a, b)}
+
+    return sampler
+
+
 def _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start_step,
               max_steps=None, sampler=None, batch_transform=None):
     """Host loop. `batch_transform` maps the host batch dict to the second
@@ -406,6 +439,13 @@ def _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start_step,
             if sampler is not None and step % eval_every == 0:
                 eval_rng = jax.random.fold_in(jax.random.fold_in(rng, 0x5EED), step)
                 imgs = sampler(state, eval_rng)
+                # a sampler may return (images, eval_metrics) — e.g. the
+                # autoencoder trainers log reconstruction PSNR/SSIM of the
+                # fixed peek batch so quality is a curve, not an eyeball
+                if isinstance(imgs, tuple):
+                    imgs, eval_logs = imgs
+                    logger.log(step, {f"eval_{k}": v
+                                      for k, v in eval_logs.items()})
                 save_image_grid(np.asarray(imgs),
                                 os.path.join(out_dir, f"samples/step_{step}.png"))
     save_checkpoint(os.path.join(out_dir, "ckpt"), state, step)
