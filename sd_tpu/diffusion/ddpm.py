@@ -119,9 +119,14 @@ class DDPMProcess:
         x_T: jax.Array | None = None,
         return_intermediates: bool = False,
         log_every_t: int = 100,
+        temperature: float = 1.0,
     ):
         """Full T-step ancestral sampling as one `lax.scan`
-        (reference loop: DDPM/ddpm.py:54-89, ldm/diffusion/ddpm.py:367-390)."""
+        (reference loop: DDPM/ddpm.py:54-89, ldm/diffusion/ddpm.py:367-390).
+        `temperature` scales the per-step noise (reference LatentDiffusion
+        p_sample_loop exposes the same knob, ldm/diffusion/ddpm.py:1745);
+        0.0 gives the deterministic posterior-mean trajectory used by the
+        composed-ancestral parity oracle."""
         sched = self.schedule
         T = sched.num_timesteps
         rng, init_rng = jax.random.split(rng)
@@ -132,7 +137,8 @@ class DDPMProcess:
             img, rng = carry
             rng, step_rng = jax.random.split(rng)
             t = jnp.full((b,), t_scalar, dtype=jnp.int32)
-            img = self.p_sample(model_fn, img, t, step_rng, cond)
+            img = self.p_sample(model_fn, img, t, step_rng, cond,
+                                temperature=temperature)
             out = img if return_intermediates else None
             return (img, rng), out
 
