@@ -73,6 +73,36 @@ def restore_checkpoint(ckpt_dir: str, target: PyTree, step: int | None = None) -
     return out
 
 
+def restore_pytree(ckpt_dir: str, step: int | None = None) -> PyTree:
+    """Restore a checkpoint WITHOUT a live target tree: structure, shapes and
+    dtypes come from the checkpoint's own metadata, placed on the default
+    device (so a TPU-written checkpoint restores on CPU and vice versa).
+
+    This is the cross-task loading path — e.g. an LDM pulling the trained
+    first-stage params out of a KL-VAE GAN checkpoint by directory alone
+    (the reference loads its first stage from a torch ckpt path:
+    instantiate_first_stage + init_from_ckpt, ldm/diffusion/ddpm.py:269-293)."""
+    import orbax.checkpoint as ocp
+
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    with ocp.CheckpointManager(
+            os.path.abspath(ckpt_dir),
+            options=ocp.CheckpointManagerOptions(create=False),
+            item_handlers={"default": ocp.StandardCheckpointHandler()}) as mgr:
+        if step is None:
+            step = mgr.latest_step()
+            if step is None:
+                raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        meta = mgr.item_metadata(step)["default"]
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=sharding),
+            meta, is_leaf=lambda x: hasattr(x, "shape"))
+        return mgr.restore(
+            step, args=ocp.args.Composite(
+                default=ocp.args.StandardRestore(abstract)))["default"]
+
+
 def auto_resume(ckpt_dir: str, state: PyTree) -> tuple[PyTree, int]:
     """Resume-from-latest if a checkpoint exists, else return `state` as-is.
     Returns (state, start_step). The preemption-recovery path for long runs."""

@@ -270,8 +270,26 @@ def build_ldm(cfg: dict, rng: jax.Array):
 
     size, ch = lat["image_size"], lat["channels"]
     r1, r2 = jax.random.split(rng)
-    pix = size * 8
+    # pixel/latent factor follows the first stage: 2^(len(ch_mult)-1)
+    factor = 2 ** (len(cfg["first_stage"]["params"].get(
+        "ch_mult", [1, 2, 4, 4])) - 1)
+    pix = size * factor
     vparams = vae.init(r1, jnp.zeros((1, pix, pix, 3)), r1)["params"]
+    fs_ckpt = cfg["first_stage"].get("ckpt")
+    if fs_ckpt:
+        # load a TRAINED first stage from a KL-VAE GAN checkpoint dir
+        # (reference: instantiate_first_stage + init_from_ckpt,
+        # ldm/diffusion/ddpm.py:269-293 — torch ckpt path there)
+        from sd_tpu.train.checkpoint import restore_pytree
+
+        restored = restore_pytree(fs_ckpt)
+        loaded = (restored["params_g"]["model"]
+                  if isinstance(restored, dict) and "params_g" in restored
+                  else restored)
+        # structure check against the freshly-initialized tree
+        jax.tree.map(lambda a, b: None, vparams, loaded)
+        vparams = loaded
+        print(f"[ldm] first stage loaded from {fs_ckpt}")
     uparams = unet.init(
         r2, jnp.zeros((1, size, size, ch)), jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, clip_cfg.max_length, clip_cfg.hidden_size)),
@@ -292,7 +310,10 @@ def build_ldm(cfg: dict, rng: jax.Array):
         ),
         cond_fn=None,
         conditioning_key=lat.get("conditioning_key", "crossattn"),
-        scale_factor=lat.get("scale_factor", 0.18215),
+        # "auto" = std-rescale on the first batch, resolved in train_ldm
+        # (reference scale_by_std, ldm/diffusion/ddpm.py:621-660)
+        scale_factor=(1.0 if lat.get("scale_factor") == "auto"
+                      else lat.get("scale_factor", 0.18215)),
     )
     return ld, unet, uparams, vae, vparams, clip
 
@@ -316,6 +337,16 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
 
     ld, unet, uparams, vae, vparams, clip = build_ldm(cfg, rng)
     print(f"[ldm] unet params: {count_params(uparams)/1e6:.1f}M")
+
+    if cfg["latent"].get("scale_factor") == "auto":
+        # std-rescaling: set scale_factor to 1/std of the first encoded
+        # batch (reference scale_by_std / on_train_batch_start,
+        # ldm/diffusion/ddpm.py:621-660)
+        from sd_tpu.diffusion.latent import calibrate_scale_factor
+
+        z = ld.encode_fn(_peek_batch(cfg, data_dir), jax.random.PRNGKey(0))
+        ld = _dc.replace(ld, scale_factor=calibrate_scale_factor(z))
+        print(f"[ldm] scale_factor (std-rescale): {ld.scale_factor:.4f}")
 
     cond_trainable = bool(
         cfg.get("cond_stage", {}).get("trainable",
