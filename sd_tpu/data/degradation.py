@@ -255,7 +255,10 @@ def degradation_bsrgan(
     if not downsampled:
         lq = downsample_classical(lq, sf, rng)
     lq = add_jpeg_noise(lq, rng, (30, 95))
-    lq = resize(lq, (h // sf, w // sf))  # enforce exact size after jpeg
+    if lq.shape[:2] != (h // sf, w // sf):  # enforce exact size after jpeg
+        # divergence from reference bsrgan.py:530-613 (which never resizes
+        # post-JPEG): only hit when slot-3 rounding drifted the shape
+        lq = resize(lq, (h // sf, w // sf))
     return lq.astype(np.float32), hq
 
 
@@ -342,5 +345,6 @@ def degradation_bsrgan_plus(
     lq = downsample_classical(lq, sf, rng)
     lq = add_gaussian_noise(lq, rng)
     lq = add_jpeg_noise(lq, rng)
-    lq = resize(lq, (h // sf, w // sf))
+    if lq.shape[:2] != (h // sf, w // sf):
+        lq = resize(lq, (h // sf, w // sf))
     return lq.astype(np.float32), hq

@@ -11,6 +11,7 @@ dumps, auto-resume from the latest checkpoint.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any
 
@@ -347,6 +348,11 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
         z = ld.encode_fn(_peek_batch(cfg, data_dir), jax.random.PRNGKey(0))
         ld = _dc.replace(ld, scale_factor=calibrate_scale_factor(z))
         print(f"[ldm] scale_factor (std-rescale): {ld.scale_factor:.4f}")
+        # persist for sampling-time reconstruction (scripts/sample.py reads
+        # this when the config says "auto")
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "calibration.json"), "w") as f:
+            json.dump({"scale_factor": float(ld.scale_factor)}, f)
 
     cond_trainable = bool(
         cfg.get("cond_stage", {}).get("trainable",
