@@ -90,11 +90,20 @@ def test_train_vq_ema_runner(image_dir, tmp_path):
 
 
 def test_train_ldm_runner(image_dir, tmp_path):
+    import json
+
     from sd_tpu.train.runners import train_ldm
 
-    state = train_ldm(_load("sd_txt2img_smoke.yaml"), image_dir,
-                      out_dir=str(tmp_path / "run"))
+    cfg = _load("sd_txt2img_smoke.yaml")
+    # std-rescale path: calibrates on the first batch AND persists the
+    # factor so scripts/sample.py can decode at the training-time scale
+    # (reference scale_by_std keeps it as a ckpt buffer)
+    cfg["latent"]["scale_factor"] = "auto"
+    state = train_ldm(cfg, image_dir, out_dir=str(tmp_path / "run"))
     assert int(state.step) == 2
+    with open(tmp_path / "run" / "calibration.json") as f:
+        cal = json.load(f)
+    assert 0.01 < cal["scale_factor"] < 100.0
 
 
 def test_train_ldm_cond_stage_trainable(image_dir, tmp_path):
