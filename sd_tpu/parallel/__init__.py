@@ -5,4 +5,6 @@ from sd_tpu.parallel.mesh import (
     infer_param_sharding,
     TP_RULES_UNET,
     make_parallel_train_step,
+    zero_state_sharding,
+    fsdp_state_sharding,
 )

@@ -238,3 +238,117 @@ def test_zero_state_sharding(rng):
                     jax.tree.leaves(s_out.ema.shadow)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_fsdp_state_sharding(rng):
+    """ZeRO-3/FSDP: params themselves shard over the data axis (each device
+    holds 1/n of the weights), mu/nu/EMA take the identical layout, and the
+    sharded step matches the replicated step."""
+    import optax
+
+    from sd_tpu.parallel.mesh import (fsdp_state_sharding,
+                                      make_parallel_train_step, shard_batch)
+    from sd_tpu.train.diffusion import (ddpm_optimizer, init_train_state,
+                                        make_diffusion_train_step)
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    params = {
+        "dense": {"kernel": jax.random.normal(rng, (16, 32)),
+                  "bias": jnp.zeros((32,))},
+        "to_q": {"kernel": jax.random.normal(jax.random.PRNGKey(1), (16, 16))},
+    }
+    opt = ddpm_optimizer(1e-2)
+    state = init_train_state(params, opt, ema_decay=0.99)
+    sh = fsdp_state_sharding(state, mesh, tp_rules=TP_RULES_UNET)
+
+    # params now CARRY the data axis (the ZeRO-3 difference from ZeRO-1) …
+    assert "data" in tuple(sh.params["dense"]["kernel"].spec)
+    # … on top of any TP placement
+    assert tuple(sh.params["to_q"]["kernel"].spec) in (
+        (None, "model"), ("data", "model"), (None, "model"), ("model", "data"))
+    assert "model" in jax.tree.leaves(
+        [a for a in sh.params["to_q"]["kernel"].spec if a])
+    # mu/nu layout identical to the param layout (shard-local update)
+    adam = [n for n in jax.tree.leaves(
+        sh.opt_state, is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState))
+        if isinstance(n, optax.ScaleByAdamState)][0]
+    assert (adam.mu["dense"]["kernel"].spec
+            == sh.params["dense"]["kernel"].spec)
+    assert sh.ema.shadow["dense"]["kernel"].spec == \
+        sh.params["dense"]["kernel"].spec
+
+    # each device holds 1/4 of a data-sharded kernel
+    s_sh = jax.device_put(state, sh)
+    shard = s_sh.params["dense"]["kernel"].addressable_shards[0]
+    assert shard.data.size == 16 * 32 // 4
+
+    def loss_fn(p, batch, rng, logvar):
+        out = jnp.tanh(batch @ p["dense"]["kernel"] + p["dense"]["bias"])
+        return jnp.mean(out**2) + jnp.mean(p["to_q"]["kernel"] ** 2), {}
+
+    step = make_diffusion_train_step(loss_fn, opt, jit=False)
+    batch = jax.random.normal(jax.random.PRNGKey(2), (8, 16))
+
+    s_ref, _ = jax.jit(step)(state, batch, jax.random.PRNGKey(3))
+    pstep = make_parallel_train_step(step, mesh, sh)
+    s_out, _ = pstep(s_sh, shard_batch(mesh, batch), jax.random.PRNGKey(3))
+
+    for a, b in zip(jax.tree.leaves(s_ref.params),
+                    jax.tree.leaves(s_out.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_ref.ema.shadow),
+                    jax.tree.leaves(s_out.ema.shadow)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_fsdp_unet_train_step_matches(rng):
+    """FSDP over the real SD UNet: a dp4 train step with ZeRO-3-sharded
+    params/opt/EMA equals the single-device step (XLA all-gathers weights at
+    use, reduce-scatters grads — derived entirely from the shardings)."""
+    from sd_tpu.models.unet_sd import UNetModel
+    from sd_tpu.parallel.mesh import (fsdp_state_sharding,
+                                      make_parallel_train_step, shard_batch)
+    from sd_tpu.train.diffusion import (ddpm_optimizer, init_train_state,
+                                        make_diffusion_train_step)
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    unet = UNetModel(in_channels=4, model_channels=32, out_channels=4,
+                     num_res_blocks=1, attention_resolutions=(2,),
+                     channel_mult=(1, 2), num_heads=4, context_dim=32)
+    x = jax.random.normal(rng, (8, 16, 16, 4))
+    c = jnp.zeros((8, 7, 32))
+    params = unet.init(rng, x[:1], jnp.zeros((1,), jnp.int32), c[:1])["params"]
+
+    opt = ddpm_optimizer(1e-3)
+    state = init_train_state(params, opt, ema_decay=0.99)
+
+    def loss_fn(p, batch, rng, logvar):
+        t = jnp.zeros((batch.shape[0],), jnp.int32)
+        ctx = jnp.zeros((batch.shape[0], 7, 32))
+        out = unet.apply({"params": p}, batch, t, ctx)
+        return jnp.mean(out**2), {}
+
+    step = make_diffusion_train_step(loss_fn, opt, jit=False)
+
+    s_ref, logs_ref = jax.jit(step)(state, x, jax.random.PRNGKey(3))
+
+    sh = fsdp_state_sharding(state, mesh, tp_rules=TP_RULES_UNET)
+    # a large conv kernel must actually be sharded on-device
+    s_sh = jax.device_put(state, sh)
+    total = sum(l.size for l in jax.tree.leaves(state.params))
+    local = sum(l.addressable_shards[0].data.size
+                for l in jax.tree.leaves(s_sh.params))
+    assert local < 0.6 * total  # most weight bytes are 1/4-sharded
+
+    pstep = make_parallel_train_step(step, mesh, sh)
+    s_out, logs = pstep(s_sh, shard_batch(mesh, x), jax.random.PRNGKey(3))
+
+    np.testing.assert_allclose(float(logs["grad_norm"]),
+                               float(logs_ref["grad_norm"]), rtol=1e-4)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s_ref.params),
+            jax.tree_util.tree_leaves_with_path(s_out.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4, err_msg=str(pa))
