@@ -120,7 +120,7 @@ def train_ddpm(config: dict | str, data_dir: str, out_dir: str = "runs/ddpm",
         noise = jax.random.normal(rng_n, x.shape)
         return process.p_losses(model_fn, x, t, noise, learned_logvar=logvar)
 
-    step_fn = make_diffusion_train_step(loss_fn, opt)
+    step_fn, state = _maybe_parallel_step(cfg, loss_fn, opt, state)
 
     def sample_with_ema(st, r):
         # the reference samples under ema_scope (ldm/diffusion/ddpm.py:247-265)
@@ -404,7 +404,8 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
     )
     state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
 
-    step_fn = make_diffusion_train_step(loss_fn, opt, learn_logvar=learn_logvar)
+    step_fn, state = _maybe_parallel_step(cfg, loss_fn, opt, state,
+                                          learn_logvar=learn_logvar)
 
     state = _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
               max_steps=max_steps, batch_transform=embed_batch)
@@ -419,6 +420,51 @@ def ema_eval_params(state):
     if getattr(state, "ema", None) is not None:
         return ema_copy_to(state.ema, state.params)
     return state.params
+
+
+def _maybe_parallel_step(cfg, loss_fn, opt, state, **mk_kwargs):
+    """Config-driven multi-chip training. A `parallel:` block routes the
+    step through the mesh layer (docs/PARALLEL.md) instead of plain jit:
+
+        parallel:
+          mesh: {data: 4, model: 2}   # default: all devices on "data"
+          state_sharding: zero1       # zero1 (default) | fsdp
+
+    Returns (step_fn, state) with the state device_put to its sharding.
+    The reference has no counterpart (single-GPU by construction,
+    SURVEY.md §2.14); this is the config surface over the mesh layer."""
+    pcfg = cfg.get("parallel")
+    if not pcfg:
+        return make_diffusion_train_step(loss_fn, opt, **mk_kwargs), state
+
+    from sd_tpu.parallel.mesh import (
+        TP_RULES_UNET,
+        fsdp_state_sharding,
+        make_mesh,
+        make_parallel_train_step,
+        zero_state_sharding,
+    )
+
+    axes = pcfg.get("mesh")
+    if axes:
+        # allow a mesh smaller than the host's device count (prefix slice)
+        n = int(np.prod(list(axes.values())))
+        mesh = make_mesh(axes, devices=jax.devices()[:n])
+    else:
+        mesh = make_mesh()
+    raw = make_diffusion_train_step(loss_fn, opt, jit=False, **mk_kwargs)
+    tp_rules = TP_RULES_UNET if "model" in mesh.axis_names else []
+    mode = pcfg.get("state_sharding", "zero1")
+    shard_fns = {"zero1": zero_state_sharding, "fsdp": fsdp_state_sharding}
+    if mode not in shard_fns:
+        raise ValueError(
+            f"parallel.state_sharding={mode!r}: expected one of "
+            f"{sorted(shard_fns)}")
+    sh = shard_fns[mode](state, mesh, tp_rules=tp_rules)
+    state = jax.device_put(state, sh)
+    print(f"[parallel] mesh={dict(zip(mesh.axis_names, mesh.devices.shape))} "
+          f"state_sharding={mode}")
+    return make_parallel_train_step(raw, mesh, sh), state
 
 
 def _peek_batch(cfg, data_dir):
