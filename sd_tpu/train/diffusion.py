@@ -67,35 +67,61 @@ def make_diffusion_train_step(
     optimizer: optax.GradientTransformation,
     learn_logvar: bool = False,
     jit: bool = True,
+    grad_accum: int = 1,
 ):
     """Build the train step.
 
     loss_fn(params, batch, rng, logvar) -> (loss, logs) — e.g.
     `LatentDiffusion.training_loss` or a closure over `DDPMProcess.p_losses`.
+
+    grad_accum > 1 splits the batch into that many microbatches, averages
+    their gradients, and applies ONE optimizer + EMA update — the effective
+    batch is the full batch at the activation memory of one microbatch
+    (the chunks are data-independent, so XLA frees each chunk's activations
+    before the next). The batch's leading dim must divide evenly.
     """
+
+    def _accum_grads(lf, opt_params, batch, rng):
+        """Mean (loss, logs), grads over `grad_accum` microbatches."""
+        if grad_accum <= 1:
+            return jax.value_and_grad(lf, has_aux=True)(opt_params, batch, rng)
+
+        def split(x):
+            assert x.shape[0] % grad_accum == 0, (
+                f"batch dim {x.shape[0]} not divisible by "
+                f"grad_accum={grad_accum}")
+            return x.reshape(
+                (grad_accum, x.shape[0] // grad_accum) + x.shape[1:])
+
+        micro = jax.tree.map(split, batch)
+        mrngs = jax.random.split(rng, grad_accum)
+        out = None
+        for i in range(grad_accum):
+            mb = jax.tree.map(lambda x: x[i], micro)
+            res = jax.value_and_grad(lf, has_aux=True)(opt_params, mb,
+                                                       mrngs[i])
+            out = res if out is None else jax.tree.map(jnp.add, out, res)
+        return jax.tree.map(lambda x: x / grad_accum, out)
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
 
         if learn_logvar:
-            def wrapped(opt_params):
-                return loss_fn(opt_params["model"], batch, rng,
+            def wrapped(opt_params, b, r):
+                return loss_fn(opt_params["model"], b, r,
                                opt_params["logvar"])
 
             opt_params = {"model": state.params, "logvar": state.logvar}
-            (loss, logs), grads = jax.value_and_grad(wrapped, has_aux=True)(
-                opt_params
-            )
+            (loss, logs), grads = _accum_grads(wrapped, opt_params, batch, rng)
             updates, opt_state = optimizer.update(grads, state.opt_state, opt_params)
             new = optax.apply_updates(opt_params, updates)
             params, logvar = new["model"], new["logvar"]
         else:
-            def wrapped(params):
-                return loss_fn(params, batch, rng, state.logvar)
+            def wrapped(params, b, r):
+                return loss_fn(params, b, r, state.logvar)
 
-            (loss, logs), grads = jax.value_and_grad(wrapped, has_aux=True)(
-                state.params
-            )
+            (loss, logs), grads = _accum_grads(wrapped, state.params, batch,
+                                               rng)
             updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             logvar = state.logvar

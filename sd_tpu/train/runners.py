@@ -120,7 +120,8 @@ def train_ddpm(config: dict | str, data_dir: str, out_dir: str = "runs/ddpm",
         noise = jax.random.normal(rng_n, x.shape)
         return process.p_losses(model_fn, x, t, noise, learned_logvar=logvar)
 
-    step_fn, state = _maybe_parallel_step(cfg, loss_fn, opt, state)
+    step_fn, state = _maybe_parallel_step(
+        cfg, loss_fn, opt, state, grad_accum=tc.get("grad_accum", 1))
 
     def sample_with_ema(st, r):
         # the reference samples under ema_scope (ldm/diffusion/ddpm.py:247-265)
@@ -405,7 +406,8 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
     state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
 
     step_fn, state = _maybe_parallel_step(cfg, loss_fn, opt, state,
-                                          learn_logvar=learn_logvar)
+                                          learn_logvar=learn_logvar,
+                                          grad_accum=tc.get("grad_accum", 1))
 
     state = _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
               max_steps=max_steps, batch_transform=embed_batch)

@@ -167,3 +167,51 @@ def test_metrics_utils(tmp_path):
     assert txt.min() >= -1.0 and txt.max() <= 1.0
 
     assert count_params({"a": jnp.ones((2, 3)), "b": jnp.ones(5)}) == 11
+
+
+def test_train_step_grad_accum_matches_full_batch(rng):
+    """grad_accum=2 over a batch == one full-batch step when the loss is
+    deterministic (mean-of-chunk-means == full mean for equal chunks)."""
+
+    def det_loss_fn(params, batch, rng, logvar):
+        x = batch["image"]
+        pred = params["w"] * x
+        loss = jnp.mean((pred - 1.0) ** 2)
+        return loss, {"loss": loss}
+
+    opt = ddpm_optimizer(1e-2)
+    batch = {"image": jax.random.normal(rng, (4, 4, 4, 3))}
+
+    full = make_diffusion_train_step(det_loss_fn, opt)
+    acc = make_diffusion_train_step(det_loss_fn, opt, grad_accum=2)
+
+    # fresh states: the jitted step donates its input state buffers
+    mk = lambda: init_train_state({"w": jnp.asarray(0.5)}, opt, ema_decay=0.9)
+    s_full, logs_full = full(mk(), batch, rng)
+    s_acc, logs_acc = acc(mk(), batch, rng)
+
+    np.testing.assert_allclose(float(s_acc.params["w"]),
+                               float(s_full.params["w"]), rtol=1e-6)
+    np.testing.assert_allclose(float(logs_acc["loss"]),
+                               float(logs_full["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(logs_acc["grad_norm"]),
+                               float(logs_full["grad_norm"]), rtol=1e-5)
+    np.testing.assert_allclose(float(s_acc.ema.shadow["w"]),
+                               float(s_full.ema.shadow["w"]), rtol=1e-6)
+
+
+def test_train_step_grad_accum_indivisible_raises(rng):
+    def det_loss_fn(params, batch, rng, logvar):
+        loss = jnp.mean(params["w"] * batch["image"])
+        return loss, {"loss": loss}
+
+    opt = ddpm_optimizer(1e-2)
+    state = init_train_state({"w": jnp.asarray(0.5)}, opt)
+    step = make_diffusion_train_step(det_loss_fn, opt, grad_accum=3)
+    batch = {"image": jnp.ones((4, 2))}
+    try:
+        step(state, batch, jax.random.PRNGKey(0))
+        raised = False
+    except AssertionError:
+        raised = True
+    assert raised
