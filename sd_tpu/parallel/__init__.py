@@ -7,4 +7,5 @@ from sd_tpu.parallel.mesh import (
     make_parallel_train_step,
     zero_state_sharding,
     fsdp_state_sharding,
+    gan_state_sharding,
 )

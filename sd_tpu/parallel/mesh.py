@@ -327,6 +327,68 @@ def fsdp_state_sharding(
     )
 
 
+def gan_state_sharding(
+    state,
+    mesh: Mesh,
+    data_axis: str = "data",
+    mode: str = "zero1",
+):
+    """Sharding tree for a GanTrainState (two optimizers, discriminator
+    batch stats, mutable model_state — sd_tpu.train.gan).
+
+    mode="zero1": generator/discriminator params replicate; both optimizers'
+    Adam mu/nu ZeRO-shard over `data_axis`. mode="fsdp": the params shard
+    too, with mu/nu in the matching layout (shard-local update). Batch
+    stats, model_state (e.g. the EMA-VQ codebook) and scalars replicate —
+    they are tiny and updated by broadcast-identical math on every device.
+    No tensor-parallel rules here: the codec stack is conv-dominated with
+    no Megatron-splittable attention; scale it spatially instead
+    (`spatial_sharding`)."""
+    import dataclasses as _dc
+
+    import optax
+
+    rep = replicated(mesh)
+
+    def rep_tree(tree):
+        return jax.tree.map(lambda _: rep, tree)
+
+    def plike(params):
+        return zero_param_like_sharding(params, mesh, data_axis)
+
+    if mode == "fsdp":
+        pg, pd = plike(state.params_g), plike(state.params_d)
+        mug, mud = pg, pd
+    elif mode == "zero1":
+        pg, pd = rep_tree(state.params_g), rep_tree(state.params_d)
+        mug, mud = plike(state.params_g), plike(state.params_d)
+    else:
+        raise ValueError(f"mode={mode!r}: expected 'zero1' or 'fsdp'")
+
+    def fix_opt(opt_state, mu_nu):
+        def fix(node):
+            if isinstance(node, optax.ScaleByAdamState):
+                return optax.ScaleByAdamState(count=rep, mu=mu_nu, nu=mu_nu)
+            return node
+
+        out = jax.tree.map(
+            fix, opt_state,
+            is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState))
+        return jax.tree.map(
+            lambda n: n if isinstance(n, NamedSharding) else rep, out)
+
+    return _dc.replace(
+        state,
+        params_g=pg,
+        params_d=pd,
+        batch_stats_d=rep_tree(state.batch_stats_d),
+        opt_state_g=fix_opt(state.opt_state_g, mug),
+        opt_state_d=fix_opt(state.opt_state_d, mud),
+        step=rep,
+        model_state=rep_tree(state.model_state),
+    )
+
+
 def spatial_sharding(mesh: Mesh, ndim: int = 4, data_axis: str = "data",
                      spatial_axis: str = "model") -> NamedSharding:
     """Sequence/spatial parallelism for NHWC activations: batch on the data

@@ -107,6 +107,7 @@ def make_kl_gan_train_step(
     opt_d: optax.GradientTransformation,
     cfg: GanLossConfig,
     last_layer_path: Sequence[str] = ("decoder", "conv_out", "kernel"),
+    jit: bool = True,
 ):
     """Build the jitted KL-VAE GAN step.
 
@@ -206,7 +207,7 @@ def make_kl_gan_train_step(
         with training_trace():
             return train_step(*args, **kw)
 
-    return jax.jit(traced_step)
+    return jax.jit(traced_step) if jit else traced_step
 
 
 def make_vq_gan_train_step(
@@ -219,6 +220,7 @@ def make_vq_gan_train_step(
     last_layer_path: Sequence[str] = ("decoder", "conv_out", "kernel"),
     stateful: bool = False,
     temp_fn: Callable[[jax.Array], jax.Array] | None = None,
+    jit: bool = True,
 ):
     """Build the jitted VQ-VAE GAN step
     (reference: vqvae/autoencoder.py:158-214 + vqvae/vqlpips.py:96-183).
@@ -342,7 +344,7 @@ def make_vq_gan_train_step(
         with training_trace():
             return train_step(*args, **kw)
 
-    return jax.jit(traced_step)
+    return jax.jit(traced_step) if jit else traced_step
 
 
 def gumbel_temp_schedule(temp_init: float = 1.0, temp_min: float = 1e-6,

@@ -166,8 +166,11 @@ def train_kl_vae(config: dict | str, data_dir: str, out_dir: str = "runs/klvae",
     state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
 
     ae_apply = lambda p, x, r: vae.apply({"params": p}, x, r)
-    step_fn = make_kl_gan_train_step(ae_apply, disc, lpips_fn, opt_g, opt_d,
-                                     loss_cfg)
+    step_fn, state = _maybe_parallel_gan_step(
+        cfg,
+        lambda jit: make_kl_gan_train_step(ae_apply, disc, lpips_fn, opt_g,
+                                           opt_d, loss_cfg, jit=jit),
+        state)
     state = _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
               max_steps=max_steps,
               sampler=_recon_eval_sampler(
@@ -234,13 +237,14 @@ def train_vq(config: dict | str, data_dir: str, out_dir: str = "runs/vq",
             temp_fn = gumbel_temp_schedule(
                 temp_init=getattr(vq, "temp_init", 1.0),
                 **cfg.get("gumbel_schedule", {}))
-        step_fn = make_vq_gan_train_step(vq_apply, disc, lpips_fn, opt_g,
-                                         opt_d, loss_cfg, stateful=True,
-                                         temp_fn=temp_fn)
+        build_step = lambda jit: make_vq_gan_train_step(
+            vq_apply, disc, lpips_fn, opt_g, opt_d, loss_cfg, stateful=True,
+            temp_fn=temp_fn, jit=jit)
     else:
         vq_apply = lambda p, x: vq.apply({"params": p}, x)
-        step_fn = make_vq_gan_train_step(vq_apply, disc, lpips_fn, opt_g,
-                                         opt_d, loss_cfg)
+        build_step = lambda jit: make_vq_gan_train_step(
+            vq_apply, disc, lpips_fn, opt_g, opt_d, loss_cfg, jit=jit)
+    step_fn, state = _maybe_parallel_gan_step(cfg, build_step, state)
 
     if qt in ("gumbel", "ema"):
         def _recon(st, x, r):
@@ -447,13 +451,7 @@ def _maybe_parallel_step(cfg, loss_fn, opt, state, **mk_kwargs):
         zero_state_sharding,
     )
 
-    axes = pcfg.get("mesh")
-    if axes:
-        # allow a mesh smaller than the host's device count (prefix slice)
-        n = int(np.prod(list(axes.values())))
-        mesh = make_mesh(axes, devices=jax.devices()[:n])
-    else:
-        mesh = make_mesh()
+    mesh = _parallel_mesh(pcfg)
     raw = make_diffusion_train_step(loss_fn, opt, jit=False, **mk_kwargs)
     tp_rules = TP_RULES_UNET if "model" in mesh.axis_names else []
     mode = pcfg.get("state_sharding", "zero1")
@@ -467,6 +465,36 @@ def _maybe_parallel_step(cfg, loss_fn, opt, state, **mk_kwargs):
     print(f"[parallel] mesh={dict(zip(mesh.axis_names, mesh.devices.shape))} "
           f"state_sharding={mode}")
     return make_parallel_train_step(raw, mesh, sh), state
+
+
+def _parallel_mesh(pcfg):
+    from sd_tpu.parallel.mesh import make_mesh
+
+    axes = pcfg.get("mesh")
+    if axes:
+        # allow a mesh smaller than the host's device count (prefix slice)
+        n = int(np.prod(list(axes.values())))
+        return make_mesh(axes, devices=jax.devices()[:n])
+    return make_mesh()
+
+
+def _maybe_parallel_gan_step(cfg, build_step, state):
+    """GAN-trainer analog of _maybe_parallel_step. `build_step(jit)` returns
+    the (state, x, rng) -> (state, logs) GAN step, traced when jit=False.
+    Same `parallel:` config block; state_sharding zero1 (default) | fsdp."""
+    pcfg = cfg.get("parallel")
+    if not pcfg:
+        return build_step(True), state
+
+    from sd_tpu.parallel.mesh import gan_state_sharding, make_parallel_train_step
+
+    mesh = _parallel_mesh(pcfg)
+    mode = pcfg.get("state_sharding", "zero1")
+    sh = gan_state_sharding(state, mesh, mode=mode)
+    state = jax.device_put(state, sh)
+    print(f"[parallel] mesh={dict(zip(mesh.axis_names, mesh.devices.shape))} "
+          f"state_sharding={mode} (gan)")
+    return make_parallel_train_step(build_step(False), mesh, sh), state
 
 
 def _peek_batch(cfg, data_dir):

@@ -157,3 +157,25 @@ def test_train_ddpm_runner_parallel(image_dir, tmp_path):
         for l in leaves
     )
     assert os.path.exists(tmp_path / "run" / "metrics.jsonl")
+
+
+def test_train_kl_vae_runner_parallel(image_dir, tmp_path):
+    """`parallel:` block on the GAN trainer: dp4+FSDP KL-VAE step runs on the
+    virtual mesh with generator AND discriminator params sharded."""
+    import jax
+
+    from sd_tpu.train.runners import train_kl_vae
+
+    cfg = _load("kl_smoke.yaml")
+    cfg["train"]["batch_size"] = 4
+    cfg["parallel"] = {"mesh": {"data": 4}, "state_sharding": "fsdp"}
+    state = train_kl_vae(cfg, image_dir, out_dir=str(tmp_path / "run"))
+    assert int(state.step) == 2
+
+    def frac_sharded(tree):
+        leaves = jax.tree.leaves(tree)
+        return sum(l.addressable_shards[0].data.size < l.size
+                   for l in leaves) / len(leaves)
+
+    assert frac_sharded(state.params_g["model"]) > 0.3
+    assert frac_sharded(state.params_d) > 0.3
