@@ -66,6 +66,10 @@ def main():
             state.ema.shadow if state.ema is not None else state.params,
             state.params)
 
+    from sd_tpu.train.runners import apply_calibration
+
+    ld = apply_calibration(ld, cfg, args.ckpt)
+
     lat = cfg["latent"]
     size = lat["image_size"] * (cfg["train"].get("image_size", 512)
                                 // lat["image_size"]

@@ -62,24 +62,10 @@ def main():
         uparams = jax.tree.map(lambda s, p: s.astype(p.dtype), uparams,
                                state.params)
 
-    lat = cfg["latent"]
-    if args.ckpt and lat.get("scale_factor") == "auto":
-        # std-rescaled runs persist the calibrated factor next to the ckpt
-        # (train_ldm writes calibration.json; reference scale_by_std keeps
-        # it inside the torch ckpt as a buffer, ldm/diffusion/ddpm.py:621)
-        import dataclasses
-        import json
+    from sd_tpu.train.runners import apply_calibration
 
-        cal = os.path.join(os.path.dirname(args.ckpt.rstrip("/")),
-                           "calibration.json")
-        if os.path.exists(cal):
-            with open(cal) as f:
-                sf = float(json.load(f)["scale_factor"])
-            ld = dataclasses.replace(ld, scale_factor=sf)
-            print(f"[sample] scale_factor from {cal}: {sf:.4f}")
-        else:
-            print(f"[sample] WARNING: scale_factor=auto but {cal} missing; "
-                  "using 1.0 (decode will be mis-scaled)")
+    lat = cfg["latent"]
+    ld = apply_calibration(ld, cfg, args.ckpt)
 
     prompts = args.prompt
     b = args.batch or len(prompts)

@@ -467,6 +467,28 @@ def _maybe_parallel_step(cfg, loss_fn, opt, state, **mk_kwargs):
     return make_parallel_train_step(raw, mesh, sh), state
 
 
+def apply_calibration(ld, cfg, ckpt_dir):
+    """Restore the std-rescaled scale factor persisted by train_ldm: when the
+    config says `scale_factor: auto` and a calibration.json sits next to the
+    checkpoint dir, return `ld` with that factor (reference scale_by_std
+    keeps it inside the torch ckpt as a buffer, ldm/diffusion/ddpm.py:621).
+    Missing file → warn and keep the current factor."""
+    import dataclasses as _dc
+
+    if not ckpt_dir or cfg["latent"].get("scale_factor") != "auto":
+        return ld
+    cal = os.path.join(os.path.dirname(str(ckpt_dir).rstrip("/")),
+                       "calibration.json")
+    if not os.path.exists(cal):
+        print(f"[sample] WARNING: scale_factor=auto but {cal} missing; "
+              f"using {ld.scale_factor} (decode will be mis-scaled)")
+        return ld
+    with open(cal) as f:
+        sf = float(json.load(f)["scale_factor"])
+    print(f"[sample] scale_factor from {cal}: {sf:.4f}")
+    return _dc.replace(ld, scale_factor=sf)
+
+
 def _parallel_mesh(pcfg):
     from sd_tpu.parallel.mesh import make_mesh
 
