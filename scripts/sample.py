@@ -21,7 +21,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
-    ap.add_argument("--prompt", required=True, nargs="+")
+    ap.add_argument("--prompt", default=[""], nargs="+",
+                    help="text prompt(s) (ldm task; ignored for task: ddpm)")
+    ap.add_argument("--sampler", default=None, choices=["ddpm", "ddim"],
+                    help="ddpm task only: ancestral (default) or DDIM")
     ap.add_argument("--negative-prompt", default="")
     ap.add_argument("--ckpt", default=None, help="checkpoint dir (else random init)")
     ap.add_argument("--out", default="samples.png")
@@ -48,6 +51,14 @@ def main():
 
     cfg = load_yaml(args.config)
     rng = jax.random.PRNGKey(args.seed)
+
+    if cfg.get("task") == "ddpm":
+        # post-hoc sampling from a trained pixel-space DDPM run (the
+        # reference bakes this into its train loop only, DDPM/train.py:109;
+        # DDIM mode covers DDIM/ddim.py:56-111 on pixel models)
+        _sample_ddpm(cfg, args, rng)
+        return
+
     ld, unet, uparams, vae, vparams, clip = build_ldm(cfg, rng)
 
     if args.ckpt:
@@ -89,6 +100,52 @@ def main():
     )
     save_image_grid(np.asarray(img), args.out)
     print(f"[done] wrote {args.out} ({shape[0]} images, {steps} steps, cfg={gs})")
+
+
+def _sample_ddpm(cfg, args, rng):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sd_tpu.core.config import instantiate_from_config
+    from sd_tpu.core.schedules import DiffusionSchedule
+    from sd_tpu.diffusion.ddpm import DDPMProcess
+    from sd_tpu.train.checkpoint import restore_checkpoint
+    from sd_tpu.train.diffusion import ddpm_optimizer, init_train_state
+    from sd_tpu.train.metrics import save_image_grid
+    from sd_tpu.train.runners import ema_eval_params
+
+    model = instantiate_from_config(cfg["model"])
+    sched = DiffusionSchedule.create(**cfg.get("diffusion", {}))
+    process = DDPMProcess(sched, clip_denoised=True)
+    size = cfg["train"].get("image_size", 256)
+    params = model.init(
+        rng, jnp.zeros((1, size, size, model.out_channels)),
+        jnp.zeros((1,), jnp.int32))["params"]
+    if args.ckpt:
+        state = init_train_state(params, ddpm_optimizer(1e-4),
+                                 ema_decay=cfg["train"].get("ema_decay",
+                                                            0.9999))
+        state = restore_checkpoint(args.ckpt, state)
+        params = ema_eval_params(state)
+
+    n = args.batch or cfg.get("sample", {}).get("num_images", 4)
+    shape = (n, size, size, model.out_channels)
+    model_fn = lambda x, t, c: model.apply({"params": params}, x, t)
+
+    if args.sampler == "ddim":
+        from sd_tpu.diffusion.ddim import DDIMSampler
+
+        sampler = DDIMSampler(sched,
+                              parameterization=process.parameterization)
+        img = sampler.sample(model_fn, rng, shape,
+                             num_steps=args.steps or 50,
+                             eta=args.eta if args.eta is not None else 0.0)
+    else:
+        img = process.p_sample_loop(model_fn, rng, shape)
+    save_image_grid(np.asarray(img), args.out)
+    print(f"[done] wrote {args.out} ({n} images, task=ddpm, "
+          f"sampler={args.sampler or 'ddpm'})")
 
 
 if __name__ == "__main__":
