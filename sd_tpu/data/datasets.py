@@ -109,6 +109,36 @@ class ImagePathsDataset:
         return out
 
 
+class ClassCaptionDataset(ImageFolderDataset):
+    """Folder dataset that derives a text caption from each image's class
+    label — the filename prefix (`cat.123.jpg` → "cat") or the parent
+    directory name — formatted through `template`. For class-labeled but
+    caption-less data (e.g. the reference's bundled cat/dog layout,
+    Dataset/Data): lets the text-conditioned LDM path train
+    class-conditionally with CFG, the prompt-space analog of the
+    reference's ClassEmbedder conditioner (ldm/modules/encoders/modules.py;
+    ours: models/conditioners.py ClassEmbedder)."""
+
+    def __init__(self, root: str, image_size: int = 256,
+                 label_from: str = "filename_prefix",
+                 template: str = "a photo of a {}", **kw):
+        super().__init__(root, image_size, **kw)
+        assert label_from in ("filename_prefix", "dirname"), label_from
+        self.label_from = label_from
+        self.template = template
+
+    def label(self, idx: int) -> str:
+        path = self.paths[idx]
+        if self.label_from == "dirname":
+            return os.path.basename(os.path.dirname(path))
+        return os.path.basename(path).split(".")[0]
+
+    def __getitem__(self, idx: int) -> dict:
+        out = super().__getitem__(idx)
+        out["txt_raw"] = self.template.format(self.label(idx))
+        return out
+
+
 class CocoCaptionDataset:
     """(image, caption) pairs from a COCO captions annotation file
     (reference: Diffusion/data/coco.py CocoDataset, ldm/Dataset/coco.py).

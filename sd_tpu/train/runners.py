@@ -77,13 +77,22 @@ def _make_lr(train_cfg: dict):
 
 
 def _build_loader(data_dir: str, cfg: dict, batch_size: int):
-    from sd_tpu.data.datasets import CocoCaptionDataset, ImageFolderDataset
+    from sd_tpu.data.datasets import (ClassCaptionDataset, CocoCaptionDataset,
+                                      ImageFolderDataset)
     from sd_tpu.data.loader import DataLoader
 
     ann = cfg.get("annotation_file")
     size = cfg.get("train", {}).get("image_size", 256)
+    dcfg = cfg.get("data", {})
     if ann:
         ds = CocoCaptionDataset(data_dir, ann, image_size=size)
+    elif dcfg.get("captions") == "class":
+        # caption-less class-labeled folders: synthesize prompts from the
+        # class label so the text-conditioned path trains with CFG
+        ds = ClassCaptionDataset(
+            data_dir, image_size=size,
+            label_from=dcfg.get("label_from", "filename_prefix"),
+            template=dcfg.get("template", "a photo of a {}"))
     else:
         ds = ImageFolderDataset(data_dir, image_size=size)
     return DataLoader(ds, batch_size=batch_size)
@@ -363,6 +372,18 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
         cfg.get("cond_stage", {}).get("trainable",
                                       tc.get("cond_stage_trainable", False)))
 
+    # classifier-free-guidance training: replace the caption with the empty
+    # prompt at rate `train.cond_dropout` so the model also learns the
+    # unconditional distribution CFG extrapolates from (the SD recipe's 10%
+    # ucg; the reference stack never trains CFG — COMPAT.md)
+    cond_dropout = float(tc.get("cond_dropout", 0.0))
+    _cd_rng = np.random.default_rng((cfg.get("seed", 0), 0xCFD))
+
+    def _drop_texts(texts):
+        if cond_dropout <= 0.0:
+            return list(texts)
+        return ["" if _cd_rng.random() < cond_dropout else t for t in texts]
+
     opt = ddpm_optimizer(_make_lr(tc), tc.get("grad_clip", 1.0),
                          weight_decay=tc.get("weight_decay", 0.0))
     learn_logvar = tc.get("learn_logvar", False)
@@ -387,8 +408,9 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
                 p, {**batch, "txt_emb": emb}, rng, learned_logvar=logvar)
 
         def embed_batch(batch):
-            texts = batch.get("txt_raw", [""] * len(batch["image"]))
-            ids = clip.tokenize(list(texts))
+            texts = _drop_texts(batch.get("txt_raw",
+                                          [""] * len(batch["image"])))
+            ids = clip.tokenize(texts)
             return {"image": jnp.asarray(batch["image"]),
                     "txt_ids": jnp.asarray(ids)}
     else:
@@ -399,7 +421,8 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
 
         def embed_batch(batch):
             out = {"image": jnp.asarray(batch["image"])}
-            texts = batch.get("txt_raw", [""] * len(batch["image"]))
+            texts = _drop_texts(batch.get("txt_raw",
+                                          [""] * len(batch["image"])))
             out["txt_emb"] = clip(texts)
             return out
 

@@ -210,3 +210,32 @@ def test_add_sharpening():
     assert 0.0 <= out.min() and out.max() <= 1.0 + 1e-6
     # local contrast across the edge does not decrease
     assert (out[:, 17] - out[:, 14]).mean() >= (img[:, 17] - img[:, 14]).mean() - 1e-6
+
+
+def test_class_caption_dataset(tmp_path):
+    """Captions derived from the class label (filename prefix / dirname) —
+    the caption-less-class-data path for conditional LDM training."""
+    import numpy as np
+    from PIL import Image
+
+    from sd_tpu.data.datasets import ClassCaptionDataset
+
+    d = tmp_path / "imgs"
+    (d / "sub").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for name in ["cat.0.jpg", "dog.0.jpg"]:
+        Image.fromarray(
+            rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(d / name)
+    Image.fromarray(
+        rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+        d / "sub" / "bird.0.jpg")
+
+    ds = ClassCaptionDataset(str(d), image_size=16)
+    caps = sorted(ds[i]["txt_raw"] for i in range(len(ds)))
+    assert caps == ["a photo of a bird", "a photo of a cat",
+                    "a photo of a dog"]
+    assert ds[0]["image"].shape == (16, 16, 3)
+
+    ds2 = ClassCaptionDataset(str(d), image_size=16, label_from="dirname",
+                              template="{}")
+    assert {ds2[i]["txt_raw"] for i in range(len(ds2))} == {"imgs", "sub"}
