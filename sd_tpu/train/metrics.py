@@ -132,7 +132,8 @@ def make_grid(images: np.ndarray, rows: int | None = None,
 
     n, h, w, c = images.shape
     if cols is None:
-        cols = int(np.ceil(np.sqrt(n)))
+        # honor an explicit row count: sqrt-square only when neither is given
+        cols = int(np.ceil(np.sqrt(n)) if rows is None else np.ceil(n / rows))
     if rows is None:
         rows = int(np.ceil(n / cols))
     grid = Image.new("RGB", (cols * (w + pad) - pad, rows * (h + pad) - pad),

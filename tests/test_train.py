@@ -162,6 +162,14 @@ def test_metrics_utils(tmp_path):
     grid = make_grid(u8)
     assert grid.size[0] > 8
 
+    # rows= must widen cols so every image lands inside the canvas (a 16-image
+    # rows=2 grid used to silently drop half the batch off the bottom edge)
+    many = postprocess(np.random.uniform(-1, 1, (16, 8, 8, 3)).astype(np.float32))
+    g2 = make_grid(many, rows=2, pad=0)
+    assert g2.size == (8 * 8, 2 * 8)
+    last = np.asarray(g2)[8:, -8:]  # bottom-right cell = image 15
+    np.testing.assert_array_equal(last, many[15])
+
     txt = log_txt_as_img((32, 64), ["hello", "world"])
     assert txt.shape == (2, 32, 64, 3)
     assert txt.min() >= -1.0 and txt.max() <= 1.0
