@@ -133,6 +133,30 @@ def build(smoke: bool):
     return pipeline, (cparams, uparams, vparams), clip_cfg, lat
 
 
+def _device_init_watchdog(seconds: float):
+    """Emit an honest failure JSON line and exit if backend init hangs.
+
+    The tunneled TPU can become unreachable (observed: jax.devices() hanging
+    >9 min); without a watchdog the bench would hang silently and the round
+    would record no artifact at all. Covers ONLY device discovery — XLA
+    compilation (minutes, legitimately) starts after the timer is cancelled.
+    """
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "t2i_512_ddim50_images_per_sec_per_chip",
+            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "error": f"device_init_timeout_{int(seconds)}s",
+        }), flush=True)
+        os._exit(0)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     smoke = os.environ.get("SD_TPU_BENCH_SMOKE") == "1"
     batch = int(os.environ.get("SD_TPU_BENCH_BATCH", "4"))
@@ -150,6 +174,12 @@ def main():
 
     if smoke:
         jax.config.update("jax_platforms", "cpu")
+
+    wd = _device_init_watchdog(
+        float(os.environ.get("SD_TPU_BENCH_INIT_TIMEOUT", "900")))
+    jax.devices()  # force backend discovery under the watchdog
+    wd.cancel()
+
     import jax.numpy as jnp
     import numpy as np
 
