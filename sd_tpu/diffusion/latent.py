@@ -202,16 +202,32 @@ class LatentDiffusion:
         eta: float = 0.0,
         use_ddim: bool = True,
         decode: bool = True,
+        sampler: str | None = None,
         **kw,
     ):
         """Latent sampling + optional first-stage decode
         (reference: ldm/diffusion/ddpm.py:1742-1826 sample/sample_log +
-        DDIM handoff)."""
+        DDIM handoff). `sampler`: "ddim" (default) / "dpm"
+        (DPM-Solver++(2M), ~15 steps ≈ DDIM-50) / "ddpm" (ancestral);
+        overrides the legacy use_ddim flag when given."""
         model_fn = self.model_fn(params)
-        if use_ddim:
-            sampler = DDIMSampler(self.schedule,
-                                  parameterization=self.process.parameterization)
-            z = sampler.sample(
+        if sampler is None:
+            sampler = "ddim" if use_ddim else "ddpm"
+        if sampler == "dpm":
+            from sd_tpu.diffusion.dpm_solver import DPMSolverSampler
+
+            z = DPMSolverSampler(
+                self.schedule,
+                parameterization=self.process.parameterization,
+            ).sample(
+                model_fn, rng, shape, num_steps=num_steps, cond=cond,
+                uncond=uncond, guidance_scale=guidance_scale, **kw,
+            )
+        elif sampler == "ddim":
+            z = DDIMSampler(
+                self.schedule,
+                parameterization=self.process.parameterization,
+            ).sample(
                 model_fn, rng, shape, num_steps=num_steps, cond=cond,
                 uncond=uncond, guidance_scale=guidance_scale, eta=eta, **kw,
             )
