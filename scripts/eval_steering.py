@@ -166,6 +166,12 @@ def main():
             grid = os.path.join(args.out, f"samples_cfg{gs:g}.png")
             save_image_grid(img, grid, rows=len(args.classes))
             row["grid"] = grid
+            # raw samples (fp16) so grids/metrics can be recomputed without
+            # re-sampling (CPU sampling costs minutes per scale)
+            np.savez_compressed(
+                os.path.join(args.out, f"samples_cfg{gs:g}.npz"),
+                samples=img.astype(np.float16), target=target,
+                classes=np.asarray(args.classes))
             print(row, flush=True)
             log.write(json.dumps(row) + "\n")
             log.flush()

@@ -93,8 +93,8 @@ class Text2ImagePipeline:
     # -- generation -----------------------------------------------------------
 
     def _program(self, batch: int, steps: int, guidance_scale: float,
-                 eta: float):
-        key = (batch, steps, guidance_scale, eta)
+                 eta: float, sampler: str = "ddim"):
+        key = (batch, steps, guidance_scale, eta, sampler)
         if key in self._jitted:
             return self._jitted[key]
 
@@ -110,8 +110,9 @@ class Text2ImagePipeline:
             z = ld.sample(
                 unet_params, rng, shape,
                 cond={"c_crossattn": [c]}, uncond={"c_crossattn": [uc]},
-                guidance_scale=guidance_scale, num_steps=steps, eta=eta,
-                decode=False,
+                guidance_scale=guidance_scale, num_steps=steps,
+                sampler=sampler, decode=False,
+                **({} if sampler == "dpm" else {"eta": eta}),
             )
             from sd_tpu.models.autoencoder import AutoencoderKL
 
@@ -134,11 +135,14 @@ class Text2ImagePipeline:
         guidance_scale: float = 7.5,
         eta: float = 0.0,
         seed: int = 0,
+        sampler: str = "ddim",
     ) -> np.ndarray:
-        """prompts → uint8 images [B, H, W, 3]."""
+        """prompts → uint8 images [B, H, W, 3]. sampler: "ddim" or "dpm"
+        (DPM-Solver++(2M): ~15 steps ≈ DDIM-50 quality)."""
         ids = jnp.asarray(self.clip.tokenize(list(prompts)))
         neg = jnp.asarray(self.clip.tokenize([negative_prompt] * len(prompts)))
-        fn = self._program(len(prompts), num_steps, guidance_scale, eta)
+        fn = self._program(len(prompts), num_steps, guidance_scale, eta,
+                           sampler)
         img = fn(self.unet_params, self.vae_params, self.clip.params,
                  ids, neg, jax.random.PRNGKey(seed))
         img = np.asarray(img.astype(jnp.float32))

@@ -22,6 +22,12 @@ def test_pipeline_generate_deterministic():
                           seed=8)
     assert not np.array_equal(imgs, imgs3)
 
+    # DPM-Solver path through the same program cache (distinct cache key)
+    imgs4 = pipe.generate(["a cat", "a dog"], num_steps=3, guidance_scale=2.0,
+                          seed=7, sampler="dpm")
+    assert imgs4.shape == (2, 32, 32, 3) and imgs4.dtype == np.uint8
+    assert not np.array_equal(imgs, imgs4)  # different solver, different path
+
 
 def test_pipeline_from_sd_checkpoint(tmp_path):
     """End-to-end: synthesize a torch .ckpt matching the smoke config, load
