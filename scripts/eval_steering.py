@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--per-class", type=int, default=8,
                     help="samples per class per guidance scale")
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--sampler", default="ddim", choices=["ddim", "dpm"],
+                    help="dpm = DPM-Solver++(2M); pair with --steps 15 to "
+                    "test the few-step claim against the DDIM-50 rows")
     ap.add_argument("--real-per-class", type=int, default=200,
                     help="real images per class for probe training")
     ap.add_argument("--probe-steps", type=int, default=400)
@@ -149,9 +152,11 @@ def main():
                 cond={"c_crossattn": [c_emb]},
                 uncond={"c_crossattn": [uc_emb]},
                 guidance_scale=gs, num_steps=args.steps, eta=0.0,
+                sampler=args.sampler,
             )
             img = np.asarray(img, np.float32)
             row = {"guidance_scale": gs, "steps": args.steps,
+                   "sampler": args.sampler,
                    "sample_seconds": round(time.time() - t0, 1)}
             for ci, c in enumerate(args.classes):
                 s = steering_score(pfn, img[target == ci], ci)
@@ -163,13 +168,14 @@ def main():
                 gf = extract_features(feat_fn, img, args.fid_batch)
                 row["fid_surrogate"] = round(
                     frechet_distance(*real_stats, *gaussian_stats(gf)), 3)
-            grid = os.path.join(args.out, f"samples_cfg{gs:g}.png")
+            tag = "" if args.sampler == "ddim" else f"_{args.sampler}{args.steps}"
+            grid = os.path.join(args.out, f"samples_cfg{gs:g}{tag}.png")
             save_image_grid(img, grid, rows=len(args.classes))
             row["grid"] = grid
             # raw samples (fp16) so grids/metrics can be recomputed without
             # re-sampling (CPU sampling costs minutes per scale)
             np.savez_compressed(
-                os.path.join(args.out, f"samples_cfg{gs:g}.npz"),
+                os.path.join(args.out, f"samples_cfg{gs:g}{tag}.npz"),
                 samples=img.astype(np.float16), target=target,
                 classes=np.asarray(args.classes))
             print(row, flush=True)

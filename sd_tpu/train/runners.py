@@ -275,7 +275,7 @@ def build_ldm(cfg: dict, rng: jax.Array):
     Returns (ld, unet, unet_params, vae, vae_params, clip)."""
     from sd_tpu.diffusion.latent import LatentDiffusion
     from sd_tpu.models.clip_text import ClipTextConfig, FrozenClipTextEmbedder
-    from sd_tpu.models.autoencoder import AutoencoderKL
+    from sd_tpu.models.autoencoder import AutoencoderKL, VQModel
 
     lat = cfg["latent"]
     unet = instantiate_from_config(cfg["unet"])
@@ -289,7 +289,11 @@ def build_ldm(cfg: dict, rng: jax.Array):
     factor = 2 ** (len(cfg["first_stage"]["params"].get(
         "ch_mult", [1, 2, 4, 4])) - 1)
     pix = size * factor
-    vparams = vae.init(r1, jnp.zeros((1, pix, pix, 3)), r1)["params"]
+    is_vq = isinstance(vae, VQModel)
+    if is_vq:
+        vparams = vae.init(r1, jnp.zeros((1, pix, pix, 3)))["params"]
+    else:
+        vparams = vae.init(r1, jnp.zeros((1, pix, pix, 3)), r1)["params"]
     fs_ckpt = cfg["first_stage"].get("ckpt")
     if fs_ckpt:
         # load a TRAINED first stage from a KL-VAE GAN checkpoint dir
@@ -317,12 +321,23 @@ def build_ldm(cfg: dict, rng: jax.Array):
         unet_apply=lambda p, x, t, ctx, y=None: unet.apply(
             {"params": p}, x, t, ctx, y
         ),
-        encode_fn=lambda x, r: vae.apply(
-            {"params": vparams}, x, method=AutoencoderKL.encode
-        ).sample(r),
-        decode_fn=lambda z: vae.apply(
-            {"params": vparams}, z, method=AutoencoderKL.decode
-        ),
+        # VQ first stage = the reference's VQModelInterface contract: encode
+        # WITHOUT quantizing (latents diffuse in the continuous pre-quant
+        # space), quantize-on-decode (Diffusion/ddpm.py:25-32 imports
+        # VQModelInterface; vqvae/autoencoder.py:435-468).
+        encode_fn=(
+            (lambda x, r: vae.apply(
+                {"params": vparams}, x, method=VQModel.encode_pre_quant))
+            if is_vq else
+            (lambda x, r: vae.apply(
+                {"params": vparams}, x, method=AutoencoderKL.encode
+            ).sample(r))),
+        decode_fn=(
+            (lambda z: vae.apply(
+                {"params": vparams}, z, method=VQModel.decode_with_quantize))
+            if is_vq else
+            (lambda z: vae.apply(
+                {"params": vparams}, z, method=AutoencoderKL.decode))),
         cond_fn=None,
         conditioning_key=lat.get("conditioning_key", "crossattn"),
         # "auto" = std-rescale on the first batch, resolved in train_ldm

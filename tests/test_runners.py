@@ -106,6 +106,46 @@ def test_train_ldm_runner(image_dir, tmp_path):
     assert 0.01 < cal["scale_factor"] < 100.0
 
 
+def test_train_ldm_vq_first_stage(image_dir, tmp_path):
+    """LDM over a VQ first stage — the reference's VQModelInterface contract:
+    latents diffuse in the continuous pre-quant space, decode quantizes
+    (Diffusion/ddpm.py:25-32 imports VQModelInterface;
+    vqvae/autoencoder.py:435-468)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sd_tpu.train.runners import build_ldm, train_ldm
+
+    cfg = _load("sd_txt2img_smoke.yaml")
+    cfg["first_stage"] = {
+        "target": "sd_tpu.models.autoencoder.VQModel",
+        "params": {
+            "n_embed": 32, "embed_dim": 4, "ch": 16, "ch_mult": [1, 2, 4],
+            "num_res_blocks": 1, "attn_resolutions": [], "resolution": 32,
+            "z_channels": 4,
+        },
+    }
+    state = train_ldm(cfg, image_dir, out_dir=str(tmp_path / "run"))
+    assert int(state.step) == 2
+
+    # sampling decodes through quantize-on-decode (VQModelInterface.decode
+    # with force_not_quantize=False)
+    ld, unet, uparams, vae, vparams, clip = build_ldm(
+        cfg, jax.random.PRNGKey(0))
+    c = clip(["a cat"])
+    img = ld.sample(uparams, jax.random.PRNGKey(1), (1, 8, 8, 4),
+                    cond={"c_crossattn": [c]}, num_steps=2)
+    assert img.shape == (1, 32, 32, 3)
+    assert bool(jnp.isfinite(img).all())
+
+    # the latent really is the pre-quant continuous encoding: encode_fn must
+    # NOT equal the quantized codebook entries for a random image
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 32, 32, 3)) * 2 - 1
+    z = ld.encode_fn(x, jax.random.PRNGKey(3))
+    zq, _, _ = vae.apply({"params": vparams}, x, method=type(vae).encode)
+    assert float(jnp.abs(z - zq).max()) > 1e-4
+
+
 def test_train_ldm_cond_stage_trainable(image_dir, tmp_path):
     """cond_stage.trainable=true puts the text tower in the optimizer and its
     params actually move (reference: ldm/diffusion/ddpm.py:1942-1972)."""
