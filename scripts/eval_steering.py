@@ -168,7 +168,8 @@ def main():
                 gf = extract_features(feat_fn, img, args.fid_batch)
                 row["fid_surrogate"] = round(
                     frechet_distance(*real_stats, *gaussian_stats(gf)), 3)
-            tag = "" if args.sampler == "ddim" else f"_{args.sampler}{args.steps}"
+            tag = ("" if args.sampler == "ddim" and args.steps == 50
+                   else f"_{args.sampler}{args.steps}")
             grid = os.path.join(args.out, f"samples_cfg{gs:g}{tag}.png")
             save_image_grid(img, grid, rows=len(args.classes))
             row["grid"] = grid
