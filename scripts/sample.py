@@ -101,7 +101,7 @@ def main():
         uparams, rng, shape,
         cond={"c_crossattn": [c]}, uncond={"c_crossattn": [uc]},
         guidance_scale=gs, num_steps=steps, sampler=sampler,
-        **({} if sampler == "dpm" else {"eta": eta}),
+        **({"eta": eta} if sampler == "ddim" else {}),
     )
     save_image_grid(np.asarray(img), args.out)
     print(f"[done] wrote {args.out} ({shape[0]} images, {steps} steps, "

@@ -100,6 +100,44 @@ def make_ddim_timesteps(
     return ddim_timesteps + 1
 
 
+def make_karras_timesteps(
+    alphas_cumprod: np.ndarray, num_timesteps: int, rho: float = 7.0
+) -> np.ndarray:
+    """Karras ρ-spaced timesteps (arXiv:2206.00364 eq.5) on the discrete
+    DDPM lattice (int64, ascending, strictly increasing).
+
+    Beyond-reference striding (the reference ships only uniform/quad,
+    DDIM/diffusion_modules.py:46-60): space the sub-schedule evenly in
+    σ^(1/ρ) where σ(t) = sqrt((1-ᾱ_t)/ᾱ_t) is the VP noise scale, which
+    concentrates model calls at low noise where few-step samplers lose the
+    most detail. Each continuous σ target maps to the nearest discrete t;
+    collisions (only possible at the dense low-t end when S approaches T)
+    are pushed up to keep the schedule strictly increasing.
+    """
+    abar = np.asarray(alphas_cumprod, dtype=np.float64)
+    sig = np.sqrt((1.0 - abar) / abar)  # monotone increasing in t
+    # mirror the +1 shift of make_ddim_timesteps: the lowest node sits at
+    # t=1 so the final update scales toward data, not the t=0 fixed point
+    s_min, s_max = sig[1], sig[-1]
+    i = np.arange(num_timesteps, dtype=np.float64)
+    frac = i / max(num_timesteps - 1, 1)
+    sigmas = (
+        s_max ** (1.0 / rho) + frac * (s_min ** (1.0 / rho) - s_max ** (1.0 / rho))
+    ) ** rho  # descending: s_max → s_min
+    ts = np.abs(sig[None, :] - sigmas[:, None]).argmin(axis=1)
+    ts = np.sort(ts)
+    ts = np.maximum(ts, 1)
+    for k in range(1, len(ts)):
+        if ts[k] <= ts[k - 1]:
+            ts[k] = ts[k - 1] + 1
+    if ts[-1] >= len(abar):
+        raise ValueError(
+            f"karras striding needs num_timesteps ({num_timesteps}) well below "
+            f"the DDPM T ({len(abar)})"
+        )
+    return ts
+
+
 def make_ddim_sampling_parameters(
     alphacums: np.ndarray, ddim_timesteps: np.ndarray, eta: float
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -203,6 +241,11 @@ class DiffusionSchedule:
             lvlb_weights = (
                 0.5 * np.sqrt(alphas_cumprod) / (2.0 * (1 - alphas_cumprod))
             )
+        elif parameterization == "v":
+            # v-prediction (Salimans & Ho, arXiv:2202.00512): the v-space MSE
+            # is already SNR+1-weighted, so the VLB reweighting is identity
+            # (the convention the SD 2.x lineage uses for this mode).
+            lvlb_weights = np.ones_like(betas)
         else:
             raise ValueError(f"unknown parameterization {parameterization!r}")
         assert not np.isnan(lvlb_weights).any()
@@ -256,6 +299,33 @@ class DiffusionSchedule:
             extract(self.sqrt_recip_alphas_cumprod, t, nd) * x_t - x0
         ) / extract(self.sqrt_recipm1_alphas_cumprod, t, nd)
 
+    # v-prediction coordinate changes (Salimans & Ho, arXiv:2202.00512 §2.4;
+    # beyond-reference: the reference supports eps/x0 only). With
+    # α=sqrt(ᾱ_t), σ=sqrt(1-ᾱ_t) and x_t = α·x0 + σ·ε, define v = α·ε − σ·x0;
+    # then x0 = α·x_t − σ·v and ε = σ·x_t + α·v.
+
+    def get_v(self, x_start, noise, t):
+        """Training target for parameterization="v"."""
+        nd = x_start.ndim
+        return (
+            extract(self.sqrt_alphas_cumprod, t, nd) * noise
+            - extract(self.sqrt_one_minus_alphas_cumprod, t, nd) * x_start
+        )
+
+    def predict_start_from_v(self, x_t, t, v):
+        nd = x_t.ndim
+        return (
+            extract(self.sqrt_alphas_cumprod, t, nd) * x_t
+            - extract(self.sqrt_one_minus_alphas_cumprod, t, nd) * v
+        )
+
+    def predict_eps_from_v(self, x_t, t, v):
+        nd = x_t.ndim
+        return (
+            extract(self.sqrt_one_minus_alphas_cumprod, t, nd) * x_t
+            + extract(self.sqrt_alphas_cumprod, t, nd) * v
+        )
+
     def q_posterior(self, x_start, x_t, t):
         """Mean/variance of q(x_{t-1} | x_t, x_0) (DDPM eq.6/7)."""
         nd = x_t.ndim
@@ -299,7 +369,10 @@ class DDIMSchedule:
         method: str = "uniform",
     ) -> "DDIMSchedule":
         alphacums = np.asarray(base.alphas_cumprod, dtype=np.float64)
-        ts = make_ddim_timesteps(method, num_steps, base.num_timesteps)
+        if method == "karras":
+            ts = make_karras_timesteps(alphacums, num_steps)
+        else:
+            ts = make_ddim_timesteps(method, num_steps, base.num_timesteps)
         sigmas, alphas, alphas_prev = make_ddim_sampling_parameters(alphacums, ts, eta)
         f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
         return cls(

@@ -1,6 +1,7 @@
 from sd_tpu.diffusion.ddpm import DDPMProcess
 from sd_tpu.diffusion.ddim import DDIMSampler
 from sd_tpu.diffusion.dpm_solver import DPMSolverSampler, DPMSolverSchedule
+from sd_tpu.diffusion.plms import PLMSSampler
 from sd_tpu.diffusion.latent import (
     LatentDiffusion,
     apply_conditioned,

@@ -77,6 +77,9 @@ class DDIMSampler:
         if self.parameterization == "x0":
             # convert an x0-prediction into eps for the DDIM update
             e_t = self.schedule.predict_eps_from_start(x, t, e_t)
+        elif self.parameterization == "v":
+            # v-prediction → eps (core/schedules.py v-coordinate changes)
+            e_t = self.schedule.predict_eps_from_v(x, t, e_t)
 
         nd = x.ndim
         a_t = extract(dd.alphas, index[None], nd)

@@ -32,7 +32,7 @@ class DDPMProcess:
     """Bundles a schedule with a parameterization and loss configuration."""
 
     schedule: DiffusionSchedule
-    parameterization: str = "eps"          # "eps" | "x0"
+    parameterization: str = "eps"          # "eps" | "x0" | "v"
     loss_type: str = "l2"                  # "l2" | "l1"
     l_simple_weight: float = 1.0
     original_elbo_weight: float = 0.0
@@ -55,7 +55,14 @@ class DDPMProcess:
         x_noisy = sched.q_sample(x_start, t, noise)
         model_out = model_fn(x_noisy, t, cond)
 
-        target = noise if self.parameterization == "eps" else x_start
+        if self.parameterization == "eps":
+            target = noise
+        elif self.parameterization == "v":
+            # v-prediction target (Salimans & Ho, arXiv:2202.00512 —
+            # beyond-reference; the SD 2.x training mode)
+            target = sched.get_v(x_start, noise, t)
+        else:
+            target = x_start
         err = (model_out.astype(jnp.float32) - target.astype(jnp.float32))
         if self.loss_type == "l2":
             loss_raw = mean_flat(err**2)
@@ -90,6 +97,9 @@ class DDPMProcess:
         if self.parameterization == "eps":
             eps = out
             x0 = self.schedule.predict_start_from_noise(x, t, eps)
+        elif self.parameterization == "v":
+            eps = self.schedule.predict_eps_from_v(x, t, out)
+            x0 = self.schedule.predict_start_from_v(x, t, out)
         else:
             x0 = out
             eps = self.schedule.predict_eps_from_start(x, t, x0)

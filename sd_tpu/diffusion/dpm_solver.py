@@ -34,6 +34,7 @@ from sd_tpu.core.schedules import (
     DiffusionSchedule,
     extract,
     make_ddim_timesteps,
+    make_karras_timesteps,
 )
 
 ModelFn = Callable[[jax.Array, jax.Array, Any], jax.Array]
@@ -66,7 +67,13 @@ class DPMSolverSchedule:
         method: str = "uniform",
     ) -> "DPMSolverSchedule":
         abar = np.asarray(base.alphas_cumprod, dtype=np.float64)
-        ts = make_ddim_timesteps(method, num_steps, base.num_timesteps)
+        if method == "karras":
+            # ρ-spaced σ nodes (core/schedules.py make_karras_timesteps):
+            # concentrates the few calls at low noise — the standard pairing
+            # with multistep DPM solvers (arXiv:2206.00364 §3).
+            ts = make_karras_timesteps(abar, num_steps)
+        else:
+            ts = make_ddim_timesteps(method, num_steps, base.num_timesteps)
         tsd = ts[::-1].copy()  # descending: noisiest first
         # S+1 nodes: ᾱ along the path, terminating at ᾱ(t=0)
         nodes = np.concatenate([abar[tsd], abar[:1]])
@@ -111,6 +118,11 @@ class DPMSolverSampler:
         nd = x32.ndim
         if self.parameterization == "x0":
             x0 = out32
+        elif self.parameterization == "v":
+            # x0 = α·x − σ·v (core/schedules.py v-coordinate changes)
+            a = extract(dp.alpha_cur, index[None], nd)
+            s = extract(dp.sigma_cur, index[None], nd)
+            x0 = a * x32 - s * out32
         else:
             a = extract(dp.alpha_cur, index[None], nd)
             s = extract(dp.sigma_cur, index[None], nd)

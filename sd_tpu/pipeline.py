@@ -112,7 +112,7 @@ class Text2ImagePipeline:
                 cond={"c_crossattn": [c]}, uncond={"c_crossattn": [uc]},
                 guidance_scale=guidance_scale, num_steps=steps,
                 sampler=sampler, decode=False,
-                **({} if sampler == "dpm" else {"eta": eta}),
+                **({"eta": eta} if sampler == "ddim" else {}),
             )
             from sd_tpu.models.autoencoder import AutoencoderKL
 
@@ -137,8 +137,9 @@ class Text2ImagePipeline:
         seed: int = 0,
         sampler: str = "ddim",
     ) -> np.ndarray:
-        """prompts → uint8 images [B, H, W, 3]. sampler: "ddim" or "dpm"
-        (DPM-Solver++(2M): ~15 steps ≈ DDIM-50 quality)."""
+        """prompts → uint8 images [B, H, W, 3]. sampler: "ddim", "dpm"
+        (DPM-Solver++(2M): ~15 steps ≈ DDIM-50 quality), or "plms"
+        (4th-order pseudo linear multistep)."""
         ids = jnp.asarray(self.clip.tokenize(list(prompts)))
         neg = jnp.asarray(self.clip.tokenize([negative_prompt] * len(prompts)))
         fn = self._program(len(prompts), num_steps, guidance_scale, eta,
