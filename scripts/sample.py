@@ -123,7 +123,10 @@ def _sample_ddpm(cfg, args, rng):
 
     model = instantiate_from_config(cfg["model"])
     sched = DiffusionSchedule.create(**cfg.get("diffusion", {}))
-    process = DDPMProcess(sched, clip_denoised=True)
+    process = DDPMProcess(
+        sched, clip_denoised=True,
+        parameterization=cfg.get("diffusion", {}).get("parameterization", "eps"),
+    )
     size = cfg["train"].get("image_size", 256)
     params = model.init(
         rng, jnp.zeros((1, size, size, model.out_channels)),

@@ -107,7 +107,12 @@ def train_ddpm(config: dict | str, data_dir: str, out_dir: str = "runs/ddpm",
 
     model = instantiate_from_config(cfg["model"])
     sched = DiffusionSchedule.create(**cfg.get("diffusion", {}))
-    process = DDPMProcess(sched, clip_denoised=True)
+    # the config's parameterization must reach the process (training target
+    # + sampler conversions), not only the schedule's lvlb weights
+    process = DDPMProcess(
+        sched, clip_denoised=True,
+        parameterization=cfg.get("diffusion", {}).get("parameterization", "eps"),
+    )
 
     size = tc.get("image_size", 256)
     dummy = jnp.zeros((1, size, size, model.out_channels))
@@ -315,7 +320,10 @@ def build_ldm(cfg: dict, rng: jax.Array):
     )["params"]
 
     sched = DiffusionSchedule.create(**cfg.get("diffusion", {}))
-    process = DDPMProcess(sched, clip_denoised=False)
+    process = DDPMProcess(
+        sched, clip_denoised=False,
+        parameterization=cfg.get("diffusion", {}).get("parameterization", "eps"),
+    )
     ld = LatentDiffusion(
         process=process,
         unet_apply=lambda p, x, t, ctx, y=None: unet.apply(

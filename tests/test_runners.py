@@ -219,3 +219,28 @@ def test_train_kl_vae_runner_parallel(image_dir, tmp_path):
 
     assert frac_sharded(state.params_g["model"]) > 0.3
     assert frac_sharded(state.params_d) > 0.3
+
+
+def test_ldm_runner_v_parameterization(image_dir, tmp_path):
+    """The config's diffusion.parameterization must reach DDPMProcess (the
+    training target + every sampler conversion), not only the schedule's
+    lvlb weights — a "v" run trains on the v target end-to-end."""
+    import jax
+    import numpy as np
+
+    from sd_tpu.train.runners import build_ldm, train_ldm
+
+    cfg = _load("sd_txt2img_smoke.yaml")
+    cfg["diffusion"]["parameterization"] = "v"
+    state = train_ldm(cfg, image_dir, out_dir=str(tmp_path / "run"))
+    assert int(state.step) == 2
+
+    ld, unet, uparams, vae, vparams, clip = build_ldm(
+        cfg, jax.random.PRNGKey(0))
+    assert ld.process.parameterization == "v"
+    c = clip(["a dog"])
+    for sampler in ("ddim", "plms", "dpm"):
+        img = ld.sample(uparams, jax.random.PRNGKey(1), (1, 8, 8, 4),
+                        cond={"c_crossattn": [c]}, num_steps=2,
+                        sampler=sampler)
+        assert np.isfinite(np.asarray(img)).all(), sampler
