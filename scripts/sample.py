@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--out", default="samples.png")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--guidance-scale", type=float, default=None)
+    ap.add_argument("--guidance-rescale", type=float, default=0.0,
+                    help="CFG std-rescale (arXiv:2305.08891), 0=off, ~0.7 "
+                         "fixes over-exposure at high guidance")
     ap.add_argument("--eta", type=float, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--batch", type=int, default=None)
@@ -101,6 +104,7 @@ def main():
         uparams, rng, shape,
         cond={"c_crossattn": [c]}, uncond={"c_crossattn": [uc]},
         guidance_scale=gs, num_steps=steps, sampler=sampler,
+        guidance_rescale=args.guidance_rescale,
         **({"eta": eta} if sampler == "ddim" else {}),
     )
     save_image_grid(np.asarray(img), args.out)

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from sd_tpu.core.schedules import DDIMSchedule, DiffusionSchedule, extract
+from sd_tpu.diffusion.guidance import apply_cfg
 
 ModelFn = Callable[[jax.Array, jax.Array, Any], jax.Array]
 
@@ -54,6 +55,7 @@ class DDIMSampler:
         guidance_scale: float = 1.0,
         temperature: float = 1.0,
         cond_batched: Any = None,
+        guidance_rescale: float = 0.0,
     ) -> tuple[jax.Array, jax.Array]:
         """One DDIM update (reference: DDIM/ddim.py:165-204). Returns
         (x_prev, pred_x0).
@@ -72,7 +74,8 @@ class DDIMSampler:
                 lambda u, c: jnp.concatenate([u, c], axis=0), uncond, cond
             )
             e_uncond, e_cond = jnp.split(model_fn(x_in, t_in, c_in), 2, axis=0)
-            e_t = e_uncond + guidance_scale * (e_cond - e_uncond)
+            e_t = apply_cfg(e_uncond, e_cond, guidance_scale,
+                            guidance_rescale)
 
         if self.parameterization == "x0":
             # convert an x0-prediction into eps for the DDIM update
@@ -120,6 +123,7 @@ class DDIMSampler:
         temperature: float = 1.0,
         return_pred_x0: bool = False,
         dd: DDIMSchedule | None = None,
+        guidance_rescale: float = 0.0,
     ):
         """S-step DDIM sampling as one scan (reference: DDIM/ddim.py:56-163).
 
@@ -168,6 +172,7 @@ class DDIMSampler:
                 model_fn, img, t, index, dd, step_rng if stochastic else None,
                 cond=cond, uncond=uncond, guidance_scale=guidance_scale,
                 temperature=temperature, cond_batched=cond_batched,
+                guidance_rescale=guidance_rescale,
             )
             return (img, rng), (pred_x0 if return_pred_x0 else None)
 

@@ -36,6 +36,7 @@ from sd_tpu.core.schedules import (
     make_ddim_timesteps,
     make_karras_timesteps,
 )
+from sd_tpu.diffusion.guidance import apply_cfg
 
 ModelFn = Callable[[jax.Array, jax.Array, Any], jax.Array]
 
@@ -145,6 +146,7 @@ class DPMSolverSampler:
         method: str = "uniform",
         x_T: jax.Array | None = None,
         dp: DPMSolverSchedule | None = None,
+        guidance_rescale: float = 0.0,
     ) -> jax.Array:
         """S-call DPM-Solver++(2M) sampling as one scan.
 
@@ -168,7 +170,7 @@ class DPMSolverSampler:
             x_in = jnp.concatenate([x, x], axis=0)
             t_in = jnp.concatenate([t, t], axis=0)
             o_u, o_c = jnp.split(model_fn(x_in, t_in, cond_batched), 2, axis=0)
-            return o_u + guidance_scale * (o_c - o_u)
+            return apply_cfg(o_u, o_c, guidance_scale, guidance_rescale)
 
         def step(carry, index):
             img, prev_x0 = carry

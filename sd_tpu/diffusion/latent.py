@@ -243,6 +243,8 @@ class LatentDiffusion:
                 uncond=uncond, guidance_scale=guidance_scale, eta=eta, **kw,
             )
         else:
+            # ancestral sampling has no CFG path; drop CFG-only knobs
+            kw.pop("guidance_rescale", None)
             z = self.process.p_sample_loop(model_fn, rng, shape, cond, **kw)
         if decode and self.decode_fn is not None:
             return self.decode_first_stage(z)

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from sd_tpu.core.schedules import DDIMSchedule, DiffusionSchedule, extract
+from sd_tpu.diffusion.guidance import apply_cfg
 
 ModelFn = Callable[[jax.Array, jax.Array, Any], jax.Array]
 
@@ -73,6 +74,7 @@ class PLMSSampler:
         method: str = "uniform",
         x_T: jax.Array | None = None,
         dd: DDIMSchedule | None = None,
+        guidance_rescale: float = 0.0,
     ) -> jax.Array:
         """S-step PLMS sampling as one scan.
 
@@ -98,7 +100,7 @@ class PLMSSampler:
                 t_in = jnp.concatenate([t, t], axis=0)
                 o_u, o_c = jnp.split(model_fn(x_in, t_in, cond_batched),
                                      2, axis=0)
-                out = o_u + guidance_scale * (o_c - o_u)
+                out = apply_cfg(o_u, o_c, guidance_scale, guidance_rescale)
             if self.parameterization == "x0":
                 out = self.schedule.predict_eps_from_start(x, t, out)
             elif self.parameterization == "v":

@@ -93,8 +93,9 @@ class Text2ImagePipeline:
     # -- generation -----------------------------------------------------------
 
     def _program(self, batch: int, steps: int, guidance_scale: float,
-                 eta: float, sampler: str = "ddim"):
-        key = (batch, steps, guidance_scale, eta, sampler)
+                 eta: float, sampler: str = "ddim",
+                 guidance_rescale: float = 0.0):
+        key = (batch, steps, guidance_scale, eta, sampler, guidance_rescale)
         if key in self._jitted:
             return self._jitted[key]
 
@@ -112,6 +113,7 @@ class Text2ImagePipeline:
                 cond={"c_crossattn": [c]}, uncond={"c_crossattn": [uc]},
                 guidance_scale=guidance_scale, num_steps=steps,
                 sampler=sampler, decode=False,
+                guidance_rescale=guidance_rescale,
                 **({"eta": eta} if sampler == "ddim" else {}),
             )
             from sd_tpu.models.autoencoder import AutoencoderKL
@@ -136,14 +138,17 @@ class Text2ImagePipeline:
         eta: float = 0.0,
         seed: int = 0,
         sampler: str = "ddim",
+        guidance_rescale: float = 0.0,
     ) -> np.ndarray:
         """prompts → uint8 images [B, H, W, 3]. sampler: "ddim", "dpm"
         (DPM-Solver++(2M): ~15 steps ≈ DDIM-50 quality), or "plms"
-        (4th-order pseudo linear multistep)."""
+        (4th-order pseudo linear multistep). guidance_rescale: std-rescale
+        of the CFG output (arXiv:2305.08891; ~0.7 fixes over-exposure at
+        high guidance, most useful with v-prediction models)."""
         ids = jnp.asarray(self.clip.tokenize(list(prompts)))
         neg = jnp.asarray(self.clip.tokenize([negative_prompt] * len(prompts)))
         fn = self._program(len(prompts), num_steps, guidance_scale, eta,
-                           sampler)
+                           sampler, guidance_rescale)
         img = fn(self.unet_params, self.vae_params, self.clip.params,
                  ids, neg, jax.random.PRNGKey(seed))
         img = np.asarray(img.astype(jnp.float32))
