@@ -41,6 +41,7 @@ class Text2ImagePipeline:
             self.vae_params = cast(self.vae_params)
             self.clip.params = cast(self.clip.params)
         self._jitted = {}
+        self.mesh = None  # set by shard_for_serving()
 
     # -- constructors --------------------------------------------------------
 
@@ -89,6 +90,54 @@ class Text2ImagePipeline:
             pipe.unet_params = cast(pipe.unet_params)
             pipe.vae_params = cast(pipe.vae_params)
         return pipe
+
+    # -- multi-chip serving ----------------------------------------------------
+
+    def shard_for_serving(self, mesh=None) -> None:
+        """Place the weights for multi-chip serving over a `jax.sharding.Mesh`
+        (TPU-native scaling surface — SURVEY.md §2.14/§5.8; the reference is
+        single-GPU, VAE/autoencoder.py:463-471).
+
+        * data axis ("data"): the prompt batch shards across chips —
+          embarrassingly-parallel serving throughput over ICI.
+        * optional model axis ("model", size >1): the UNet weights shard by
+          the Megatron TP rules (parallel/mesh.py TP_RULES_UNET); GSPMD
+          inserts the ICI collectives inside the jitted program.
+
+        Weights are device_put NOW (replicated or TP-sharded); the program
+        cache resets so subsequent `generate` calls compile against the mesh.
+        Batch sizes must divide the data-axis size.
+        """
+        from sd_tpu.parallel import mesh as pm
+
+        m = mesh if mesh is not None else pm.make_mesh()
+        self.mesh = m
+        axis_sizes = dict(zip(m.axis_names, m.devices.shape))
+        if axis_sizes.get("model", 1) > 1:
+            shardings = pm.infer_param_sharding(self.unet_params, m,
+                                                pm.TP_RULES_UNET)
+            self.unet_params = pm.put_sharded_params(self.unet_params,
+                                                     shardings)
+        else:
+            self.unet_params = pm.put_replicated(self.unet_params, m)
+        self.vae_params = pm.put_replicated(self.vae_params, m)
+        self.clip.params = pm.put_replicated(self.clip.params, m)
+        self._jitted = {}
+
+    def _place_inputs(self, ids, neg, rng):
+        """Shard the prompt batch on the data axis, replicate the rng."""
+        from sd_tpu.parallel.mesh import replicated, shard_batch
+
+        if self.mesh is None:
+            return ids, neg, rng
+        n_data = dict(zip(self.mesh.axis_names,
+                          self.mesh.devices.shape)).get("data", 1)
+        if ids.shape[0] % n_data != 0:
+            raise ValueError(
+                f"batch {ids.shape[0]} must divide the data axis ({n_data})")
+        ids, neg = shard_batch(self.mesh, (ids, neg))
+        rng = jax.device_put(rng, replicated(self.mesh))
+        return ids, neg, rng
 
     # -- generation -----------------------------------------------------------
 
@@ -149,7 +198,8 @@ class Text2ImagePipeline:
         neg = jnp.asarray(self.clip.tokenize([negative_prompt] * len(prompts)))
         fn = self._program(len(prompts), num_steps, guidance_scale, eta,
                            sampler, guidance_rescale)
+        ids, neg, rng = self._place_inputs(ids, neg, jax.random.PRNGKey(seed))
         img = fn(self.unet_params, self.vae_params, self.clip.params,
-                 ids, neg, jax.random.PRNGKey(seed))
+                 ids, neg, rng)
         img = np.asarray(img.astype(jnp.float32))
         return np.clip((img + 1.0) * 127.5, 0, 255).astype(np.uint8)
