@@ -52,6 +52,50 @@ class Text2ImagePipeline:
         return cls(load_yaml(path), **kw)
 
     @classmethod
+    def from_run(cls, config_path: str, run_dir: str,
+                 **kw) -> "Text2ImagePipeline":
+        """Load a trained run (scripts/train.py output directory) into the
+        serving pipeline: EMA UNet weights from the latest Orbax checkpoint,
+        the first stage from its configured ckpt (build_ldm restores it),
+        and the persisted scale-factor calibration (calibration.json).
+
+        The reference has no serving loader — sampling lives inside the
+        Lightning modules (ldm/diffusion/ddpm.py:1742-1826); this is the
+        deploy-a-training-run path.
+        """
+        import os
+
+        from sd_tpu.core.config import load_yaml
+        from sd_tpu.train.checkpoint import restore_checkpoint
+        from sd_tpu.train.diffusion import ddpm_optimizer, init_train_state
+        from sd_tpu.train.runners import apply_calibration
+
+        cfg = load_yaml(config_path)
+        dtype = kw.pop("param_dtype", jnp.bfloat16)
+        pipe = cls(cfg, param_dtype=None, **kw)  # fp32 restore template
+
+        ckpt_dir = os.path.join(run_dir, "ckpt")
+        state = init_train_state(
+            pipe.unet_params, ddpm_optimizer(1e-4),
+            num_timesteps=pipe.ld.schedule.num_timesteps)
+        state = restore_checkpoint(ckpt_dir, state)
+        uparams = (state.ema.shadow if state.ema is not None
+                   else state.params)
+        pipe.unet_params = jax.tree.map(
+            lambda s, p: s.astype(p.dtype), uparams, state.params)
+        pipe.ld = apply_calibration(pipe.ld, cfg, ckpt_dir)
+
+        if dtype is not None:
+            cast = lambda t: jax.tree.map(
+                lambda x: x.astype(dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+            pipe.unet_params = cast(pipe.unet_params)
+            pipe.vae_params = cast(pipe.vae_params)
+            pipe.clip.params = cast(pipe.clip.params)
+            pipe.param_dtype = dtype
+        return pipe
+
+    @classmethod
     def from_sd_checkpoint(cls, config_path: str, ckpt_path: str,
                            **kw) -> "Text2ImagePipeline":
         """Load UNet+VAE weights from a Stable-Diffusion v1 .ckpt

@@ -244,3 +244,34 @@ def test_ldm_runner_v_parameterization(image_dir, tmp_path):
                         cond={"c_crossattn": [c]}, num_steps=2,
                         sampler=sampler)
         assert np.isfinite(np.asarray(img)).all(), sampler
+
+
+def test_pipeline_from_run(image_dir, tmp_path):
+    """Deploy path: a scripts/train.py run directory loads straight into the
+    serving pipeline — EMA UNet weights, configured first stage, and the
+    persisted scale-factor calibration."""
+    import json
+    import os
+
+    import numpy as np
+    import yaml
+
+    from sd_tpu.pipeline import Text2ImagePipeline
+    from sd_tpu.train.runners import train_ldm
+
+    cfg = _load("sd_txt2img_smoke.yaml")
+    cfg["latent"]["scale_factor"] = "auto"
+    run_dir = str(tmp_path / "run")
+    train_ldm(cfg, image_dir, out_dir=run_dir)
+
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    pipe = Text2ImagePipeline.from_run(cfg_path, run_dir, param_dtype=None)
+
+    with open(os.path.join(run_dir, "calibration.json")) as f:
+        sf = json.load(f)["scale_factor"]
+    assert abs(pipe.ld.scale_factor - sf) < 1e-6
+
+    imgs = pipe.generate(["a cat"], num_steps=2, guidance_scale=1.0)
+    assert imgs.shape[0] == 1 and imgs.dtype == np.uint8
