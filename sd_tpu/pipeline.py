@@ -247,3 +247,117 @@ class Text2ImagePipeline:
                  ids, neg, rng)
         img = np.asarray(img.astype(jnp.float32))
         return np.clip((img + 1.0) * 127.5, 0, 255).astype(np.uint8)
+
+    # -- img2img / inpainting --------------------------------------------------
+
+    @staticmethod
+    def _to_model_range(images) -> jnp.ndarray:
+        """uint8 [0,255] or float [-1,1] NHWC → float32 [-1,1]."""
+        x = np.asarray(images)
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 127.5 - 1.0
+        return jnp.asarray(x, jnp.float32)
+
+    def _img2img_program(self, batch: int, steps: int, guidance_scale: float,
+                         t_start: int, masked: bool,
+                         guidance_rescale: float):
+        key = ("i2i", batch, steps, guidance_scale, t_start, masked,
+               guidance_rescale)
+        if key in self._jitted:
+            return self._jitted[key]
+
+        from sd_tpu.diffusion.ddim import DDIMSampler
+
+        ld = self.ld
+        sampler = DDIMSampler(ld.schedule,
+                              parameterization=ld.process.parameterization)
+        dd = sampler.make_schedule(steps)
+
+        def program(unet_params, vae_params, clip_params, x, ids, neg_ids,
+                    mask, rng):
+            c = self.clip.encode(clip_params, ids)
+            uc = self.clip.encode(clip_params, neg_ids)
+            if self.param_dtype is not None:
+                c, uc = c.astype(self.param_dtype), uc.astype(self.param_dtype)
+            cond = {"c_crossattn": [c]}
+            uncond = {"c_crossattn": [uc]}
+            r_enc, r_noise, r_dec = jax.random.split(rng, 3)
+            z = ld.get_first_stage_encoding(ld.encode_first_stage(x, r_enc))
+            z_noisy = sampler.stochastic_encode(
+                z, jnp.asarray(t_start - 1), r_noise, dd)
+            model_fn = ld.model_fn(unet_params)
+            if masked:
+                z_out = sampler.sample(
+                    model_fn, r_dec, z.shape, num_steps=steps, cond=cond,
+                    uncond=uncond, guidance_scale=guidance_scale,
+                    x_T=z_noisy, mask=mask, x0=z, dd=dd,
+                    guidance_rescale=guidance_rescale)
+            else:
+                z_out = sampler.decode(
+                    model_fn, z_noisy, t_start, r_dec, cond=cond,
+                    uncond=uncond, guidance_scale=guidance_scale, dd=dd)
+            return ld.decode_first_stage(z_out)
+
+        fn = jax.jit(program)
+        self._jitted[key] = fn
+        return fn
+
+    def img2img(
+        self,
+        prompts: Sequence[str],
+        init_images,
+        strength: float = 0.75,
+        negative_prompt: str = "",
+        num_steps: int = 50,
+        guidance_scale: float = 7.5,
+        seed: int = 0,
+        mask=None,
+        guidance_rescale: float = 0.0,
+    ) -> np.ndarray:
+        """Guided image-to-image (reference: DDIM/ddim.py:206-241
+        stochastic_encode/decode): re-noise the init image's latent to
+        `strength`·steps, then CFG-guided DDIM decode. With `mask`
+        (white/1 = keep, image- or latent-resolution), runs the inpainting
+        blend instead (reference mask path: DDIM/ddim.py:144-147).
+
+        init_images: [B, H, W, 3] uint8 or float in [-1, 1], H = the
+        pixel resolution of the first stage."""
+        x = self._to_model_range(init_images)
+        b = x.shape[0]
+        assert len(prompts) == b, (len(prompts), b)
+        t_start = max(1, min(int(strength * num_steps), num_steps))
+
+        lat_hw = None
+        m = None
+        if mask is not None:
+            lat = self.cfg["latent"]
+            lat_hw = (lat["image_size"], lat["image_size"])
+            m = np.asarray(mask, np.float32)
+            if m.ndim == 2:
+                m = m[None]
+            if m.ndim == 3:
+                m = m[..., None]
+            if m.max() > 1.0:
+                m = m / 255.0
+            if m.shape[1:3] != lat_hw:  # nearest-downsample to latent res
+                sy = m.shape[1] // lat_hw[0]
+                sx = m.shape[2] // lat_hw[1]
+                m = m[:, ::sy, :: sx][:, : lat_hw[0], : lat_hw[1]]
+            m = jnp.asarray((m > 0.5).astype(np.float32))
+
+        ids = jnp.asarray(self.clip.tokenize(list(prompts)))
+        neg = jnp.asarray(self.clip.tokenize([negative_prompt] * b))
+        fn = self._img2img_program(b, num_steps, guidance_scale, t_start,
+                                   mask is not None, guidance_rescale)
+        img = fn(self.unet_params, self.vae_params, self.clip.params,
+                 x, ids, neg, m, jax.random.PRNGKey(seed))
+        img = np.asarray(img.astype(jnp.float32))
+        return np.clip((img + 1.0) * 127.5, 0, 255).astype(np.uint8)
+
+    def inpaint(self, prompts: Sequence[str], init_images, mask,
+                **kw) -> np.ndarray:
+        """Mask-blend inpainting (white/1 mask pixels are KEPT, the rest is
+        regenerated under the prompt) — img2img with the mask path and
+        full-schedule strength by default."""
+        kw.setdefault("strength", 1.0)
+        return self.img2img(prompts, init_images, mask=mask, **kw)

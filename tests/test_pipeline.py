@@ -78,3 +78,37 @@ def test_pipeline_from_sd_checkpoint(tmp_path):
     imgs = pipe.generate(["hello"], num_steps=2)
     assert imgs.shape == (1, 32, 32, 3)
     assert np.isfinite(imgs.astype(np.float32)).all()
+
+
+def test_pipeline_img2img_and_inpaint():
+    """img2img keeps low-strength outputs near the init image, and the
+    inpaint mask preserves kept regions better than regenerated ones
+    (reference surface: DDIM/ddim.py:206-241 stochastic_encode/decode,
+    mask blend :144-147)."""
+    pipe = Text2ImagePipeline.from_config("configs/sd_txt2img_smoke.yaml",
+                                          param_dtype=None)
+    rngimg = np.random.default_rng(0)
+    size = pipe.cfg["latent"]["image_size"] * 4  # smoke VAE is f4
+    init = rngimg.integers(60, 196, (1, size, size, 3), dtype=np.uint8)
+
+    lo = pipe.img2img(["a cat"], init, strength=0.2, num_steps=5,
+                      guidance_scale=1.0, seed=3)
+    hi = pipe.img2img(["a cat"], init, strength=1.0, num_steps=5,
+                      guidance_scale=1.0, seed=3)
+    assert lo.shape == init.shape and lo.dtype == np.uint8
+    d_lo = float(np.mean(np.abs(lo.astype(int) - init.astype(int))))
+    d_hi = float(np.mean(np.abs(hi.astype(int) - init.astype(int))))
+    # weak re-noising stays closer to the init than full re-noising
+    assert d_lo < d_hi, (d_lo, d_hi)
+
+    # inpaint: keep the left half (mask=1), regenerate the right
+    mask = np.zeros((1, size, size), np.float32)
+    mask[:, :, : size // 2] = 1.0
+    out = pipe.inpaint(["a cat"], init, mask, num_steps=5,
+                       guidance_scale=1.0, seed=3)
+    assert out.shape == init.shape
+    kept = np.mean(np.abs(out[:, :, : size // 2].astype(int)
+                          - init[:, :, : size // 2].astype(int)))
+    regen = np.mean(np.abs(out[:, :, size // 2:].astype(int)
+                           - init[:, :, size // 2:].astype(int)))
+    assert kept < regen, (kept, regen)
