@@ -61,6 +61,25 @@ def make_beta_schedule(
     return betas
 
 
+def rescale_zero_terminal_snr(betas: np.ndarray) -> np.ndarray:
+    """Rescale betas so the terminal SNR is exactly zero
+    (Lin et al., arXiv:2305.08891 Algorithm 1 — beyond-reference).
+
+    Standard schedules leave ᾱ_T > 0, so the model never sees pure noise in
+    training yet sampling starts from pure noise — the cause of the
+    medium-brightness bias. Shifts/scales sqrt(ᾱ) so sqrt(ᾱ_T)=0, keeping
+    sqrt(ᾱ_1) fixed. REQUIRES v-prediction (or x0): the ε-parameterization
+    is undefined at ᾱ=0 (DiffusionSchedule.create enforces this).
+    """
+    betas = np.asarray(betas, dtype=np.float64)
+    abar_sqrt = np.sqrt(np.cumprod(1.0 - betas))
+    s_0, s_T = abar_sqrt[0], abar_sqrt[-1]
+    abar_sqrt = (abar_sqrt - s_T) * s_0 / (s_0 - s_T)
+    abar = abar_sqrt**2
+    alphas = np.concatenate([abar[:1], abar[1:] / abar[:-1]])
+    return 1.0 - alphas
+
+
 def betas_for_alpha_bar(
     num_diffusion_timesteps: int,
     alpha_bar: Callable[[float], float],
@@ -95,6 +114,16 @@ def make_ddim_timesteps(
         ddim_timesteps = (
             np.linspace(0, math.sqrt(num_ddpm_timesteps * 0.8), num_ddim_timesteps) ** 2
         ).astype(int)
+    elif ddim_discr_method == "trailing":
+        # arXiv:2305.08891 §2.2 (beyond-reference): include the FINAL step
+        # t=T-1 so sampling truly starts at the schedule's terminal noise
+        # level; "uniform"/"quad" (the reference lineage's "leading"
+        # spacing) stop T/S short of it. Pairs with zero-terminal-SNR.
+        ts = np.round(
+            np.arange(num_ddpm_timesteps, 0,
+                      -num_ddpm_timesteps / num_ddim_timesteps)
+        ).astype(int) - 1
+        return np.unique(ts)  # ascending; no +1 shift — t=0 is the data end
     else:
         raise NotImplementedError(f"unknown ddim discretization {ddim_discr_method!r}")
     return ddim_timesteps + 1
@@ -205,6 +234,7 @@ class DiffusionSchedule:
         v_posterior: float = 0.0,
         parameterization: str = "eps",
         l_simple_weight: float = 1.0,
+        zero_terminal_snr: bool = False,
     ) -> "DiffusionSchedule":
         if given_betas is not None:
             betas = np.asarray(given_betas, dtype=np.float64)
@@ -212,6 +242,14 @@ class DiffusionSchedule:
             betas = make_beta_schedule(
                 beta_schedule, timesteps, linear_start, linear_end, cosine_s
             )
+        if zero_terminal_snr:
+            # arXiv:2305.08891 Algorithm 1; ᾱ_T becomes exactly 0, so the
+            # ε-parameterization (x0 = (x−σε)/√ᾱ) is undefined at t=T-1
+            if parameterization == "eps":
+                raise ValueError(
+                    "zero_terminal_snr requires parameterization='v' (or "
+                    "'x0'); eps is undefined at the zero-SNR terminal step")
+            betas = rescale_zero_terminal_snr(betas)
         alphas = 1.0 - betas
         alphas_cumprod = np.cumprod(alphas, axis=0)
         alphas_cumprod_prev = np.append(1.0, alphas_cumprod[:-1])
@@ -251,6 +289,11 @@ class DiffusionSchedule:
         assert not np.isnan(lvlb_weights).any()
 
         f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+        with np.errstate(divide="ignore"):
+            # inf at a zero-SNR terminal step — those tables belong to the
+            # ε-parameterization, which the zero_terminal_snr guard excludes
+            sqrt_recip = np.sqrt(1.0 / alphas_cumprod)
+            sqrt_recipm1 = np.sqrt(1.0 / alphas_cumprod - 1.0)
         return cls(
             betas=f32(betas),
             alphas_cumprod=f32(alphas_cumprod),
@@ -258,8 +301,8 @@ class DiffusionSchedule:
             sqrt_alphas_cumprod=f32(np.sqrt(alphas_cumprod)),
             sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - alphas_cumprod)),
             log_one_minus_alphas_cumprod=f32(np.log(1.0 - alphas_cumprod)),
-            sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod)),
-            sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod - 1.0)),
+            sqrt_recip_alphas_cumprod=f32(sqrt_recip),
+            sqrt_recipm1_alphas_cumprod=f32(sqrt_recipm1),
             posterior_variance=f32(posterior_variance),
             posterior_log_variance_clipped=f32(posterior_log_variance_clipped),
             posterior_mean_coef1=f32(posterior_mean_coef1),

@@ -77,21 +77,26 @@ class DDIMSampler:
             e_t = apply_cfg(e_uncond, e_cond, guidance_scale,
                             guidance_rescale)
 
-        if self.parameterization == "x0":
-            # convert an x0-prediction into eps for the DDIM update
-            e_t = self.schedule.predict_eps_from_start(x, t, e_t)
-        elif self.parameterization == "v":
-            # v-prediction → eps (core/schedules.py v-coordinate changes)
-            e_t = self.schedule.predict_eps_from_v(x, t, e_t)
-
         nd = x.ndim
         a_t = extract(dd.alphas, index[None], nd)
         a_prev = extract(dd.alphas_prev, index[None], nd)
         sigma_t = extract(dd.sigmas, index[None], nd)
         sqrt_1m_at = extract(dd.sqrt_one_minus_alphas, index[None], nd)
+        sqrt_at = jnp.sqrt(a_t)
 
-        x32, e32 = x.astype(jnp.float32), e_t.astype(jnp.float32)
-        pred_x0 = (x32 - sqrt_1m_at * e32) / jnp.sqrt(a_t)
+        x32, out32 = x.astype(jnp.float32), e_t.astype(jnp.float32)
+        if self.parameterization == "v":
+            # division-free v coordinate change (valid at ᾱ=0, the
+            # zero-terminal-SNR node — arXiv:2305.08891): x0 = α·x − σ·v,
+            # ε = σ·x + α·v with the DDIM-table ᾱ (== base ᾱ at this t)
+            pred_x0 = sqrt_at * x32 - sqrt_1m_at * out32
+            e32 = sqrt_1m_at * x32 + sqrt_at * out32
+        elif self.parameterization == "x0":
+            pred_x0 = out32
+            e32 = (x32 - sqrt_at * pred_x0) / sqrt_1m_at
+        else:
+            e32 = out32
+            pred_x0 = (x32 - sqrt_1m_at * e32) / sqrt_at
         if self.clip_denoised:
             pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
         if self.quantize_fn is not None:

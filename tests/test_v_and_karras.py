@@ -180,3 +180,60 @@ def test_karras_dpm_reaches_same_endpoint():
                                         x_T=x_T, method="karras")
     ref = float(jnp.linalg.norm(hi))
     assert float(jnp.linalg.norm(lo - hi)) / ref < 5e-2
+
+
+# ---------------------------------------------------------------------------
+# zero-terminal-SNR + trailing spacing (arXiv:2305.08891)
+# ---------------------------------------------------------------------------
+
+
+def test_rescale_zero_terminal_snr_properties():
+    from sd_tpu.core.schedules import make_beta_schedule, rescale_zero_terminal_snr
+
+    betas = make_beta_schedule("linear", 1000, 0.00085, 0.012)
+    rb = rescale_zero_terminal_snr(betas)
+    abar = np.cumprod(1.0 - rb)
+    abar0 = np.cumprod(1.0 - betas)
+    # terminal SNR is exactly zero; the first step is preserved
+    assert abs(abar[-1]) < 1e-12
+    np.testing.assert_allclose(abar[0], abar0[0], rtol=1e-10)
+    # still a valid monotone schedule
+    assert (rb > 0).all() and (rb <= 1.0).all()
+    assert (np.diff(abar) < 0).all()
+
+
+def test_zero_terminal_snr_requires_non_eps():
+    with pytest.raises(ValueError, match="zero_terminal_snr"):
+        DiffusionSchedule.create(timesteps=100, zero_terminal_snr=True)
+    sched = DiffusionSchedule.create(timesteps=100, zero_terminal_snr=True,
+                                     parameterization="v")
+    assert float(sched.alphas_cumprod[-1]) == 0.0
+
+
+def test_trailing_timesteps():
+    from sd_tpu.core.schedules import make_ddim_timesteps
+
+    ts = make_ddim_timesteps("trailing", 10, 1000)
+    assert ts[-1] == 999          # includes the terminal step
+    assert ts[0] == 99            # trailing spacing: T/S - 1
+    assert (np.diff(ts) > 0).all()
+    assert len(ts) == 10
+
+
+def test_v_sampling_with_zero_snr_trailing_is_finite():
+    """The paper's full recipe: v-model + zero-terminal-SNR schedule +
+    trailing DDIM spacing. The terminal node has alpha-bar = 0, which the
+    division-free v update must handle."""
+    sched = DiffusionSchedule.create(timesteps=200, zero_terminal_snr=True,
+                                     parameterization="v")
+    assert float(sched.alphas_cumprod[-1]) == 0.0
+    model = lambda x, t, c: x * 0.05  # arbitrary v-model
+    out = DDIMSampler(sched, parameterization="v").sample(
+        model, jax.random.PRNGKey(0), SHAPE, num_steps=8, method="trailing")
+    assert np.isfinite(np.asarray(out)).all()
+    # ancestral v-sampling over the same schedule is finite too
+    from sd_tpu.diffusion.ddpm import DDPMProcess
+
+    out2 = DDPMProcess(sched, parameterization="v").p_sample_loop(
+        model, jax.random.PRNGKey(1), SHAPE)
+    assert np.isfinite(np.asarray(out2)).all()
