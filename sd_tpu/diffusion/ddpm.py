@@ -37,6 +37,12 @@ class DDPMProcess:
     l_simple_weight: float = 1.0
     original_elbo_weight: float = 0.0
     clip_denoised: bool = True
+    # min-SNR-γ loss weighting (Hang et al., arXiv:2303.09556 —
+    # beyond-reference): clamps the effective per-timestep weight at
+    # SNR=γ so easy low-noise steps stop dominating the gradient;
+    # γ=5 is the paper's recommendation (~3× faster convergence).
+    # Applied to the simple loss only; None disables.
+    min_snr_gamma: float | None = None
 
     # -- training --------------------------------------------------------
 
@@ -72,13 +78,25 @@ class DDPMProcess:
             raise ValueError(f"unknown loss_type {self.loss_type!r}")
 
         logs = {}
-        loss_simple = loss_raw.mean()
+        loss_weighted = loss_raw
+        if self.min_snr_gamma is not None:
+            abar_t = jnp.take(sched.alphas_cumprod, t).astype(jnp.float32)
+            snr = abar_t / jnp.maximum(1.0 - abar_t, 1e-12)
+            g = self.min_snr_gamma
+            if self.parameterization == "eps":
+                w = jnp.minimum(snr, g) / jnp.maximum(snr, 1e-12)
+            elif self.parameterization == "v":
+                w = jnp.minimum(snr, g) / (snr + 1.0)
+            else:  # x0: the loss already carries a 1/SNR factor vs ε-space
+                w = jnp.minimum(snr, g)
+            loss_weighted = loss_raw * w
+        loss_simple = loss_weighted.mean()
         logs["loss_simple"] = loss_simple
 
         if learned_logvar is not None:
             # per-timestep learned logvar (reference: ldm/diffusion/ddpm.py:1504-1510)
             logvar_t = jnp.take(learned_logvar, t)
-            loss = (loss_raw / jnp.exp(logvar_t) + logvar_t).mean()
+            loss = (loss_weighted / jnp.exp(logvar_t) + logvar_t).mean()
             logs["loss_gamma"] = loss
         else:
             loss = loss_simple

@@ -106,12 +106,16 @@ def train_ddpm(config: dict | str, data_dir: str, out_dir: str = "runs/ddpm",
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
 
     model = instantiate_from_config(cfg["model"])
-    sched = DiffusionSchedule.create(**cfg.get("diffusion", {}))
+    # process-only keys must not reach the schedule constructor
+    diff_cfg = dict(cfg.get("diffusion", {}))
+    min_snr = diff_cfg.pop("min_snr_gamma", None)
+    sched = DiffusionSchedule.create(**diff_cfg)
     # the config's parameterization must reach the process (training target
     # + sampler conversions), not only the schedule's lvlb weights
     process = DDPMProcess(
         sched, clip_denoised=True,
-        parameterization=cfg.get("diffusion", {}).get("parameterization", "eps"),
+        parameterization=diff_cfg.get("parameterization", "eps"),
+        min_snr_gamma=min_snr,
     )
 
     size = tc.get("image_size", 256)
@@ -319,10 +323,13 @@ def build_ldm(cfg: dict, rng: jax.Array):
         jnp.zeros((1, clip_cfg.max_length, clip_cfg.hidden_size)),
     )["params"]
 
-    sched = DiffusionSchedule.create(**cfg.get("diffusion", {}))
+    diff_cfg = dict(cfg.get("diffusion", {}))
+    min_snr = diff_cfg.pop("min_snr_gamma", None)
+    sched = DiffusionSchedule.create(**diff_cfg)
     process = DDPMProcess(
         sched, clip_denoised=False,
-        parameterization=cfg.get("diffusion", {}).get("parameterization", "eps"),
+        parameterization=diff_cfg.get("parameterization", "eps"),
+        min_snr_gamma=min_snr,
     )
     ld = LatentDiffusion(
         process=process,

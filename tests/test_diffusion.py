@@ -195,3 +195,45 @@ def test_ddim_quantize_denoised(rng):
     # every intermediate pred_x0 sits on the snapped grid
     p = np.asarray(pred)
     np.testing.assert_allclose(p, np.round(p * 2.0) / 2.0, atol=1e-6)
+
+
+def test_min_snr_gamma_weighting(rng):
+    """min-SNR-γ (arXiv:2303.09556, beyond-reference): the simple loss is
+    the per-sample loss reweighted by min(SNR,γ)/SNR (ε-param), which
+    down-weights LOW-t (high-SNR) steps and leaves high-t steps unchanged."""
+    import dataclasses
+
+    sched = DiffusionSchedule.create(timesteps=1000)
+    proc = DDPMProcess(schedule=sched, clip_denoised=False)
+    proc_snr = dataclasses.replace(proc, min_snr_gamma=5.0)
+    x0 = jax.random.normal(rng, SHAPE)
+    noise = jax.random.normal(jax.random.fold_in(rng, 1), SHAPE)
+    model = lambda x, t, c: jnp.zeros_like(x)  # constant wrong model
+
+    # low t → SNR >> γ → weight γ/SNR << 1: loss shrinks a lot
+    t_lo = jnp.array([2, 3])
+    l0, _ = proc.p_losses(model, x0, t_lo, noise)
+    l1, _ = proc_snr.p_losses(model, x0, t_lo, noise)
+    snr = float(sched.alphas_cumprod[2] / (1 - sched.alphas_cumprod[2]))
+    assert snr > 50
+    assert float(l1) < 0.2 * float(l0)
+
+    # high t → SNR < γ → weight 1: loss unchanged
+    t_hi = jnp.array([900, 950])
+    l0, _ = proc.p_losses(model, x0, t_hi, noise)
+    l1, _ = proc_snr.p_losses(model, x0, t_hi, noise)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+
+    # exact weight at a single t (ε-parameterization)
+    t = jnp.array([10, 10])
+    l0, _ = proc.p_losses(model, x0, t, noise)
+    l1, _ = proc_snr.p_losses(model, x0, t, noise)
+    snr_t = float(sched.alphas_cumprod[10] / (1 - sched.alphas_cumprod[10]))
+    np.testing.assert_allclose(float(l1), float(l0) * min(snr_t, 5.0) / snr_t,
+                               rtol=1e-4)
+
+    # v-parameterization uses min(SNR,γ)/(SNR+1)
+    proc_v = DDPMProcess(schedule=sched, clip_denoised=False,
+                         parameterization="v", min_snr_gamma=5.0)
+    lv, logs = proc_v.p_losses(model, x0, t_hi, noise)
+    assert np.isfinite(float(lv)) and float(lv) > 0
