@@ -135,6 +135,28 @@ class Text2ImagePipeline:
             pipe.vae_params = cast(pipe.vae_params)
         return pipe
 
+    # -- adapters ---------------------------------------------------------------
+
+    def load_lora(self, lora, scale: float = 1.0) -> None:
+        """Merge LoRA factors (train/lora.py) into the UNet weights for
+        serving. `lora` is a factor tree, or a LoRA training run's ckpt
+        directory — the EMA shadows are preferred when present. The merge
+        happens once, host-side; the program cache resets."""
+        from sd_tpu.train.lora import merge_lora
+
+        if isinstance(lora, str):
+            from sd_tpu.train.checkpoint import restore_pytree
+
+            tree = restore_pytree(lora)
+            ema = tree.get("ema")
+            lora = (ema["shadow"] if isinstance(ema, dict)
+                    and ema.get("shadow") is not None else tree["params"])
+        lora = jax.tree.map(
+            lambda x: x.astype(self.param_dtype)
+            if self.param_dtype is not None else x, lora)
+        self.unet_params = merge_lora(self.unet_params, lora, scale)
+        self._jitted = {}
+
     # -- multi-chip serving ----------------------------------------------------
 
     def shard_for_serving(self, mesh=None) -> None:

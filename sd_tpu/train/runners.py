@@ -418,7 +418,43 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
                          weight_decay=tc.get("weight_decay", 0.0))
     learn_logvar = tc.get("learn_logvar", False)
 
-    if cond_trainable:
+    lora_cfg = cfg.get("lora")
+    if lora_cfg:
+        # LoRA fine-tuning (arXiv:2106.09685, beyond-reference): the base
+        # UNet is a frozen closure constant; the optimizer/EMA/checkpoint
+        # state is the low-rank factor tree only. merge_lora inside the
+        # jitted loss keeps the adapted weights differentiable w.r.t. the
+        # factors and lets XLA fuse the rank-r matmuls into the step.
+        if cond_trainable:
+            raise ValueError("lora and cond_stage.trainable are exclusive")
+        from sd_tpu.train.lora import (
+            count_lora_params,
+            init_lora,
+            merge_lora,
+        )
+
+        l_scale = float(lora_cfg.get("scale", 1.0))
+        base_uparams = uparams
+        train_params = init_lora(
+            uparams, int(lora_cfg.get("rank", 8)),
+            jax.random.PRNGKey(cfg.get("seed", 0) ^ 0x10AA),
+            lora_cfg.get("targets"))
+        print(f"[ldm] lora: {count_lora_params(train_params)/1e3:.1f}K "
+              f"trainable params over {len(train_params)} kernels "
+              f"(base frozen: {count_params(uparams)/1e6:.1f}M)")
+
+        def loss_fn(p, batch, rng, logvar):
+            merged = merge_lora(base_uparams, p, l_scale)
+            return ld.training_loss(merged, batch, rng,
+                                    learned_logvar=logvar)
+
+        def embed_batch(batch):
+            out = {"image": jnp.asarray(batch["image"])}
+            texts = _drop_texts(batch.get("txt_raw",
+                                          [""] * len(batch["image"])))
+            out["txt_emb"] = clip(texts)
+            return out
+    elif cond_trainable:
         # optimizer tree = {unet, cond}; note the EMA shadows BOTH subtrees
         # (the reference's LitEma wraps only the UNet — divergence recorded
         # in COMPAT.md; affects only eval-time conditioning during warm-up).
