@@ -44,4 +44,12 @@ def __getattr__(name):
         from sd_tpu.core.schedules import DiffusionSchedule
 
         return DiffusionSchedule
+    if name == "DPMSolverSampler":
+        from sd_tpu.diffusion.dpm_solver import DPMSolverSampler
+
+        return DPMSolverSampler
+    if name == "PLMSSampler":
+        from sd_tpu.diffusion.plms import PLMSSampler
+
+        return PLMSSampler
     raise AttributeError(f"module 'sd_tpu' has no attribute {name!r}")
