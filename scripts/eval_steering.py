@@ -40,9 +40,14 @@ def main():
     ap.add_argument("--per-class", type=int, default=8,
                     help="samples per class per guidance scale")
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--sampler", default="ddim", choices=["ddim", "dpm"],
+    ap.add_argument("--sampler", default="ddim",
+                    choices=["ddim", "dpm", "plms"],
                     help="dpm = DPM-Solver++(2M); pair with --steps 15 to "
-                    "test the few-step claim against the DDIM-50 rows")
+                    "test the few-step claim against the DDIM-50 rows; "
+                    "plms = 4th-order pseudo linear multistep")
+    ap.add_argument("--guidance-rescale", type=float, default=0.0,
+                    help="CFG std-rescale (arXiv:2305.08891); measure at "
+                    "high cfg where over-guidance degrades FID")
     ap.add_argument("--real-per-class", type=int, default=200,
                     help="real images per class for probe training")
     ap.add_argument("--probe-steps", type=int, default=400)
@@ -153,10 +158,12 @@ def main():
                 uncond={"c_crossattn": [uc_emb]},
                 guidance_scale=gs, num_steps=args.steps, eta=0.0,
                 sampler=args.sampler,
+                guidance_rescale=args.guidance_rescale,
             )
             img = np.asarray(img, np.float32)
             row = {"guidance_scale": gs, "steps": args.steps,
                    "sampler": args.sampler,
+                   "guidance_rescale": args.guidance_rescale,
                    "sample_seconds": round(time.time() - t0, 1)}
             for ci, c in enumerate(args.classes):
                 s = steering_score(pfn, img[target == ci], ci)
@@ -170,6 +177,8 @@ def main():
                     frechet_distance(*real_stats, *gaussian_stats(gf)), 3)
             tag = ("" if args.sampler == "ddim" and args.steps == 50
                    else f"_{args.sampler}{args.steps}")
+            if args.guidance_rescale:
+                tag += f"_gr{args.guidance_rescale:g}"
             grid = os.path.join(args.out, f"samples_cfg{gs:g}{tag}.png")
             save_image_grid(img, grid, rows=len(args.classes))
             row["grid"] = grid
