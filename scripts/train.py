@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Train any capability config: ddpm | kl_vae | vq | ldm.
+"""Train any capability config: ddpm | kl_vae | vq | ldm | ldm_sr.
 
 Usage:
   python scripts/train.py --config configs/ddpm_256.yaml --data /path/to/images
@@ -49,7 +49,11 @@ def main():
         "kl_vae": runners.train_kl_vae,
         "vq": runners.train_vq,
         "ldm": runners.train_ldm,
-    }[task]
+    }.get(task)
+    if run is None and task == "ldm_sr":
+        from sd_tpu.train.sr import train_ldm_sr as run
+    if run is None:
+        raise SystemExit(f"unknown task {task!r}")
     run(cfg, args.data, out_dir=out, max_steps=args.max_steps)
     print(f"[done] task={task} out={out}")
 

@@ -170,3 +170,51 @@ class CocoCaptionDataset:
         fn, caption = self.items[idx]
         img = _load_image(os.path.join(self.image_dir, fn), self.image_size)
         return {"image": img, "txt_raw": caption.strip()}
+
+
+class SRDataset(ImageFolderDataset):
+    """Paired HR/LR dataset for super-resolution diffusion training.
+
+    Yields {'image': HR [size,size,3] in [-1,1],
+            'lr':    LR [size/sf,size/sf,3] in [-1,1]}
+    with the LR side produced on host by either plain bicubic 1/sf
+    downsampling or the BSRGAN degradation composite
+    (sd_tpu.data.degradation; reference pipeline:
+    image_degradation/bsrgan.py — the reference ships it as SR training
+    augmentation but never wires a trainer to it).
+
+    degradation: 'bicubic' | 'bsrgan' | 'bsrgan_light' | 'bsrgan_variant'.
+    The degradation RNG is keyed per (seed, epoch, index) like the flip RNG
+    so concurrent __getitem__ calls stay reproducible.
+    """
+
+    def __init__(self, root: str, image_size: int = 256, sf: int = 4,
+                 degradation: str = "bicubic", **kw):
+        super().__init__(root, image_size=image_size, **kw)
+        if image_size % sf:
+            raise ValueError(f"image_size={image_size} not divisible by sf={sf}")
+        self.sf = sf
+        self.degradation = degradation
+
+    def __getitem__(self, idx: int) -> dict:
+        from sd_tpu.data import degradation as deg
+
+        item = super().__getitem__(idx)
+        hr01 = (item["image"] + 1.0) * 0.5  # degradation ops live in [0,1]
+        if self.degradation == "bicubic":
+            lr01 = deg.bicubic_degradation(hr01, self.sf)
+        else:
+            rng = np.random.default_rng(
+                (self.seed, self._epoch, idx, 0x5F))
+            if self.degradation == "bsrgan":
+                lr01, _ = deg.degradation_bsrgan(hr01, self.sf, rng)
+            elif self.degradation == "bsrgan_light":
+                lr01, _ = deg.degradation_bsrgan(hr01, self.sf, rng,
+                                                 light=True)
+            elif self.degradation == "bsrgan_variant":
+                lr01, _ = deg.degradation_bsrgan_variant(hr01, self.sf, rng)
+            else:
+                raise ValueError(
+                    f"unknown degradation {self.degradation!r}")
+        item["lr"] = np.clip(lr01, 0, 1).astype(np.float32) * 2.0 - 1.0
+        return item

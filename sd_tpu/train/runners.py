@@ -86,6 +86,15 @@ def _build_loader(data_dir: str, cfg: dict, batch_size: int):
     dcfg = cfg.get("data", {})
     if ann:
         ds = CocoCaptionDataset(data_dir, ann, image_size=size)
+    elif dcfg.get("sr"):
+        # paired HR/LR batches for the SR trainer (sd_tpu.train.sr); the
+        # degradation runs on host in the loader threads
+        from sd_tpu.data.datasets import SRDataset
+
+        sr = dcfg["sr"]
+        ds = SRDataset(data_dir, image_size=size,
+                       sf=int(sr.get("sf", 4)),
+                       degradation=sr.get("degradation", "bicubic"))
     elif dcfg.get("captions") == "class":
         # caption-less class-labeled folders: synthesize prompts from the
         # class label so the text-conditioned path trains with CFG
@@ -279,31 +288,23 @@ def train_vq(config: dict | str, data_dir: str, out_dir: str = "runs/vq",
     return state
 
 
-def build_ldm(cfg: dict, rng: jax.Array):
-    """Assemble the text-to-image LatentDiffusion stack from config.
-    Returns (ld, unet, unet_params, vae, vae_params, clip)."""
-    from sd_tpu.diffusion.latent import LatentDiffusion
-    from sd_tpu.models.clip_text import ClipTextConfig, FrozenClipTextEmbedder
+def _build_first_stage(fs_cfg: dict, rng: jax.Array, pix: int):
+    """Instantiate + init the frozen first stage from its config block,
+    optionally restoring trained weights from a `ckpt` run directory.
+    Returns (vae, vparams, encode_fn, decode_fn) — the encode/decode
+    closures implement the reference's first-stage contracts (KL-VAE
+    posterior sampling vs the VQModelInterface pre-quant/quantize-on-decode
+    pair, vqvae/autoencoder.py:435-468). Shared by the text-to-image LDM
+    (build_ldm) and the SR LDM (sd_tpu.train.sr)."""
     from sd_tpu.models.autoencoder import AutoencoderKL, VQModel
 
-    lat = cfg["latent"]
-    unet = instantiate_from_config(cfg["unet"])
-    vae = instantiate_from_config(cfg["first_stage"])
-    clip_cfg = ClipTextConfig(**cfg.get("cond_stage", {}).get("params", {}) or {})
-    clip = FrozenClipTextEmbedder(cfg=clip_cfg)
-
-    size, ch = lat["image_size"], lat["channels"]
-    r1, r2 = jax.random.split(rng)
-    # pixel/latent factor follows the first stage: 2^(len(ch_mult)-1)
-    factor = 2 ** (len(cfg["first_stage"]["params"].get(
-        "ch_mult", [1, 2, 4, 4])) - 1)
-    pix = size * factor
+    vae = instantiate_from_config(fs_cfg)
     is_vq = isinstance(vae, VQModel)
     if is_vq:
-        vparams = vae.init(r1, jnp.zeros((1, pix, pix, 3)))["params"]
+        vparams = vae.init(rng, jnp.zeros((1, pix, pix, 3)))["params"]
     else:
-        vparams = vae.init(r1, jnp.zeros((1, pix, pix, 3)), r1)["params"]
-    fs_ckpt = cfg["first_stage"].get("ckpt")
+        vparams = vae.init(rng, jnp.zeros((1, pix, pix, 3)), rng)["params"]
+    fs_ckpt = fs_cfg.get("ckpt")
     if fs_ckpt:
         # load a TRAINED first stage from a KL-VAE GAN checkpoint dir
         # (reference: instantiate_first_stage + init_from_ckpt,
@@ -318,6 +319,44 @@ def build_ldm(cfg: dict, rng: jax.Array):
         jax.tree.map(lambda a, b: None, vparams, loaded)
         vparams = loaded
         print(f"[ldm] first stage loaded from {fs_ckpt}")
+    encode_fn = (
+        (lambda x, r: vae.apply(
+            {"params": vparams}, x, method=VQModel.encode_pre_quant))
+        if is_vq else
+        (lambda x, r: vae.apply(
+            {"params": vparams}, x, method=AutoencoderKL.encode
+        ).sample(r)))
+    decode_fn = (
+        (lambda z: vae.apply(
+            {"params": vparams}, z, method=VQModel.decode_with_quantize))
+        if is_vq else
+        (lambda z: vae.apply(
+            {"params": vparams}, z, method=AutoencoderKL.decode)))
+    return vae, vparams, encode_fn, decode_fn
+
+
+def first_stage_factor(fs_cfg: dict) -> int:
+    """pixel/latent downsampling factor implied by the first-stage config:
+    2^(len(ch_mult)-1)."""
+    return 2 ** (len(fs_cfg["params"].get("ch_mult", [1, 2, 4, 4])) - 1)
+
+
+def build_ldm(cfg: dict, rng: jax.Array):
+    """Assemble the text-to-image LatentDiffusion stack from config.
+    Returns (ld, unet, unet_params, vae, vae_params, clip)."""
+    from sd_tpu.diffusion.latent import LatentDiffusion
+    from sd_tpu.models.clip_text import ClipTextConfig, FrozenClipTextEmbedder
+
+    lat = cfg["latent"]
+    unet = instantiate_from_config(cfg["unet"])
+    clip_cfg = ClipTextConfig(**cfg.get("cond_stage", {}).get("params", {}) or {})
+    clip = FrozenClipTextEmbedder(cfg=clip_cfg)
+
+    size, ch = lat["image_size"], lat["channels"]
+    r1, r2 = jax.random.split(rng)
+    pix = size * first_stage_factor(cfg["first_stage"])
+    vae, vparams, encode_fn, decode_fn = _build_first_stage(
+        cfg["first_stage"], r1, pix)
     uparams = unet.init(
         r2, jnp.zeros((1, size, size, ch)), jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, clip_cfg.max_length, clip_cfg.hidden_size)),
@@ -336,23 +375,8 @@ def build_ldm(cfg: dict, rng: jax.Array):
         unet_apply=lambda p, x, t, ctx, y=None: unet.apply(
             {"params": p}, x, t, ctx, y
         ),
-        # VQ first stage = the reference's VQModelInterface contract: encode
-        # WITHOUT quantizing (latents diffuse in the continuous pre-quant
-        # space), quantize-on-decode (Diffusion/ddpm.py:25-32 imports
-        # VQModelInterface; vqvae/autoencoder.py:435-468).
-        encode_fn=(
-            (lambda x, r: vae.apply(
-                {"params": vparams}, x, method=VQModel.encode_pre_quant))
-            if is_vq else
-            (lambda x, r: vae.apply(
-                {"params": vparams}, x, method=AutoencoderKL.encode
-            ).sample(r))),
-        decode_fn=(
-            (lambda z: vae.apply(
-                {"params": vparams}, z, method=VQModel.decode_with_quantize))
-            if is_vq else
-            (lambda z: vae.apply(
-                {"params": vparams}, z, method=AutoencoderKL.decode))),
+        encode_fn=encode_fn,
+        decode_fn=decode_fn,
         cond_fn=None,
         conditioning_key=lat.get("conditioning_key", "crossattn"),
         # "auto" = std-rescale on the first batch, resolved in train_ldm
