@@ -135,6 +135,36 @@ class Text2ImagePipeline:
             pipe.vae_params = cast(pipe.vae_params)
         return pipe
 
+    def to_sd_checkpoint(self, path: str, half: bool = False) -> None:
+        """Export the pipeline's UNet+VAE weights as a Stable-Diffusion v1
+        torch .ckpt — the inverse of from_sd_checkpoint, so models trained
+        or LoRA-merged here load back into any torch SD stack (including
+        the reference's VAE/test/test.py:29-64 path)."""
+        from sd_tpu.models.sd_export import (
+            export_sd_unet,
+            export_sd_vae,
+            save_sd_checkpoint,
+        )
+
+        ucfg = self.cfg["unet"]["params"]
+        sd = export_sd_unet(
+            jax.tree.map(np.asarray, self.unet_params),
+            channel_mult=tuple(ucfg.get("channel_mult", (1, 2, 4, 4))),
+            num_res_blocks=ucfg.get("num_res_blocks", 2),
+            attention_resolutions=tuple(
+                ucfg.get("attention_resolutions", (4, 2, 1))),
+            transformer_depth=ucfg.get("transformer_depth", 1),
+        )
+        fcfg = self.cfg["first_stage"]["params"]
+        sd.update(export_sd_vae(
+            jax.tree.map(np.asarray, self.vae_params),
+            ch_mult=tuple(fcfg.get("ch_mult", (1, 2, 4, 4))),
+            num_res_blocks=fcfg.get("num_res_blocks", 2),
+            attn_resolutions=tuple(fcfg.get("attn_resolutions", ())),
+            resolution=fcfg.get("resolution", 256),
+        ))
+        save_sd_checkpoint(path, sd, half=half)
+
     # -- adapters ---------------------------------------------------------------
 
     def load_lora(self, lora, scale: float = 1.0) -> None:
