@@ -52,4 +52,8 @@ def __getattr__(name):
         from sd_tpu.diffusion.plms import PLMSSampler
 
         return PLMSSampler
+    if name == "KDiffusionSampler":
+        from sd_tpu.diffusion.k_samplers import KDiffusionSampler
+
+        return KDiffusionSampler
     raise AttributeError(f"module 'sd_tpu' has no attribute {name!r}")

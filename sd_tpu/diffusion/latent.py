@@ -209,12 +209,24 @@ class LatentDiffusion:
         (reference: ldm/diffusion/ddpm.py:1742-1826 sample/sample_log +
         DDIM handoff). `sampler`: "ddim" (default) / "dpm"
         (DPM-Solver++(2M), ~15 steps ≈ DDIM-50) / "plms" (4th-order pseudo
-        linear multistep, arXiv:2202.09778) / "ddpm" (ancestral);
+        linear multistep, arXiv:2202.09778) / "euler" / "euler_a" / "heun"
+        (the k-diffusion family, arXiv:2206.00364) / "ddpm" (ancestral);
         overrides the legacy use_ddim flag when given."""
         model_fn = self.model_fn(params)
         if sampler is None:
             sampler = "ddim" if use_ddim else "ddpm"
-        if sampler == "dpm":
+        if sampler in ("euler", "euler_a", "heun"):
+            from sd_tpu.diffusion.k_samplers import KDiffusionSampler
+
+            z = KDiffusionSampler(
+                self.schedule,
+                order=sampler,
+                parameterization=self.process.parameterization,
+            ).sample(
+                model_fn, rng, shape, num_steps=num_steps, cond=cond,
+                uncond=uncond, guidance_scale=guidance_scale, **kw,
+            )
+        elif sampler == "dpm":
             from sd_tpu.diffusion.dpm_solver import DPMSolverSampler
 
             z = DPMSolverSampler(

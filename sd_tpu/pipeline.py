@@ -237,15 +237,38 @@ class Text2ImagePipeline:
 
     # -- generation -----------------------------------------------------------
 
+    def _latent_hw(self, height: int | None, width: int | None):
+        """Pixel height/width → latent grid, validated against the model's
+        total downsampling (VAE factor × UNet down levels)."""
+        lat = self.cfg["latent"]
+        if height is None and width is None:
+            return lat["image_size"], lat["image_size"]
+        f_vae = 2 ** (len(self.cfg["first_stage"]["params"]
+                          .get("ch_mult", (1, 2, 4, 4))) - 1)
+        f_unet = 2 ** (len(self.cfg["unet"]["params"]
+                           .get("channel_mult", (1, 2, 4, 4))) - 1)
+        f = f_vae * f_unet
+        height = height if height is not None else lat["image_size"] * f_vae
+        width = width if width is not None else lat["image_size"] * f_vae
+        if height % f or width % f:
+            raise ValueError(
+                f"height/width must be multiples of {f} "
+                f"(VAE f{f_vae} × UNet {f_unet}-level downsampling)")
+        return height // f_vae, width // f_vae
+
     def _program(self, batch: int, steps: int, guidance_scale: float,
                  eta: float, sampler: str = "ddim",
-                 guidance_rescale: float = 0.0):
-        key = (batch, steps, guidance_scale, eta, sampler, guidance_rescale)
+                 guidance_rescale: float = 0.0,
+                 latent_hw: tuple[int, int] | None = None):
+        lat = self.cfg["latent"]
+        if latent_hw is None:
+            latent_hw = (lat["image_size"], lat["image_size"])
+        key = (batch, steps, guidance_scale, eta, sampler, guidance_rescale,
+               latent_hw)
         if key in self._jitted:
             return self._jitted[key]
 
-        lat = self.cfg["latent"]
-        shape = (batch, lat["image_size"], lat["image_size"], lat["channels"])
+        shape = (batch, latent_hw[0], latent_hw[1], lat["channels"])
 
         def program(unet_params, vae_params, clip_params, ids, neg_ids, rng):
             c = self.clip.encode(clip_params, ids)
@@ -277,23 +300,37 @@ class Text2ImagePipeline:
     def generate(
         self,
         prompts: Sequence[str],
-        negative_prompt: str = "",
+        negative_prompt: str | Sequence[str] = "",
         num_steps: int = 50,
         guidance_scale: float = 7.5,
         eta: float = 0.0,
         seed: int = 0,
         sampler: str = "ddim",
         guidance_rescale: float = 0.0,
+        height: int | None = None,
+        width: int | None = None,
     ) -> np.ndarray:
         """prompts → uint8 images [B, H, W, 3]. sampler: "ddim", "dpm"
-        (DPM-Solver++(2M): ~15 steps ≈ DDIM-50 quality), or "plms"
-        (4th-order pseudo linear multistep). guidance_rescale: std-rescale
+        (DPM-Solver++(2M): ~15 steps ≈ DDIM-50 quality), "plms"
+        (4th-order pseudo linear multistep), or the k-diffusion family
+        "euler" / "euler_a" (stochastic) / "heun" (2nd order, 2 model
+        calls/step). guidance_rescale: std-rescale
         of the CFG output (arXiv:2305.08891; ~0.7 fixes over-exposure at
-        high guidance, most useful with v-prediction models)."""
+        high guidance, most useful with v-prediction models).
+        height/width: output size in pixels (default: the config's square
+        size). The UNet and VAE are fully convolutional, so any multiple of
+        the total downsampling factor (64 px for SD v1) compiles its own
+        cached program — the standard SD portrait/landscape surface.
+        negative_prompt: one string for the whole batch or one per prompt."""
         ids = jnp.asarray(self.clip.tokenize(list(prompts)))
-        neg = jnp.asarray(self.clip.tokenize([negative_prompt] * len(prompts)))
+        if isinstance(negative_prompt, str):
+            negative_prompt = [negative_prompt] * len(prompts)
+        elif len(negative_prompt) != len(prompts):
+            raise ValueError("negative_prompt list must match prompts length")
+        neg = jnp.asarray(self.clip.tokenize(list(negative_prompt)))
         fn = self._program(len(prompts), num_steps, guidance_scale, eta,
-                           sampler, guidance_rescale)
+                           sampler, guidance_rescale,
+                           latent_hw=self._latent_hw(height, width))
         ids, neg, rng = self._place_inputs(ids, neg, jax.random.PRNGKey(seed))
         img = fn(self.unet_params, self.vae_params, self.clip.params,
                  ids, neg, rng)

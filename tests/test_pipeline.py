@@ -28,6 +28,43 @@ def test_pipeline_generate_deterministic():
     assert imgs4.shape == (2, 32, 32, 3) and imgs4.dtype == np.uint8
     assert not np.array_equal(imgs, imgs4)  # different solver, different path
 
+    # k-diffusion path (euler_a: stochastic, uses the seed's rng per step)
+    imgs5 = pipe.generate(["a cat", "a dog"], num_steps=3, guidance_scale=2.0,
+                          seed=7, sampler="euler_a")
+    assert imgs5.shape == (2, 32, 32, 3) and imgs5.dtype == np.uint8
+    assert not np.array_equal(imgs, imgs5)
+
+    # per-prompt negative prompts reuse the same compiled program. At random
+    # init the UNet's zero-init residual convs (proj_out/out_conv, the SD
+    # convention) make the model output exactly 0 regardless of conditioning,
+    # so perturb the params deterministically to give text a gradient path.
+    import jax.numpy as jnp
+
+    pipe.unet_params = jax.tree.map(
+        lambda p: p + 0.05 * jnp.cos(1.7 * jnp.arange(p.size, dtype=jnp.float32)
+                                     ).reshape(p.shape).astype(p.dtype),
+        pipe.unet_params)
+    base = pipe.generate(["a cat", "a dog"], num_steps=3, guidance_scale=2.0,
+                         seed=7)
+    imgs6 = pipe.generate(["a cat", "a dog"], num_steps=3, guidance_scale=2.0,
+                          seed=7, negative_prompt=["blurry", "low quality"])
+    assert imgs6.shape == (2, 32, 32, 3)
+    assert not np.array_equal(base, imgs6)  # conditioning actually changed
+
+
+def test_pipeline_nonsquare_generate():
+    """Arbitrary height/width (fully-convolutional UNet+VAE): the smoke
+    config's total downsampling is f4 VAE × 2-level UNet = 8 px."""
+    import pytest
+
+    pipe = Text2ImagePipeline.from_config("configs/sd_txt2img_smoke.yaml",
+                                          param_dtype=None)
+    imgs = pipe.generate(["a wide cat"], num_steps=2, guidance_scale=2.0,
+                         height=24, width=40)
+    assert imgs.shape == (1, 24, 40, 3) and imgs.dtype == np.uint8
+    with pytest.raises(ValueError, match="multiples of 8"):
+        pipe.generate(["x"], num_steps=2, height=20, width=40)
+
 
 def test_pipeline_from_sd_checkpoint(tmp_path):
     """End-to-end: synthesize a torch .ckpt matching the smoke config, load
