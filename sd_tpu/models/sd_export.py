@@ -225,9 +225,19 @@ def export_sd_unet(
 
 
 def save_sd_checkpoint(path: str, state_dict: dict, half: bool = False) -> None:
-    """torch.save an SD-layout state_dict (the reference's checkpoint shape:
-    {'state_dict': {...}}; `half=True` = the fp16 conversion of
-    vqvae/test/test.py:3-21)."""
+    """Save an SD-layout state_dict. A `.safetensors` path writes the SD
+    ecosystem's standard format via the native writer
+    (sd_tpu.utils.safetensors_io); anything else is torch.save in the
+    reference's checkpoint shape {'state_dict': {...}} (`half=True` = the
+    fp16 conversion of vqvae/test/test.py:3-21)."""
+    if path.endswith(".safetensors"):
+        from sd_tpu.utils.safetensors_io import save_safetensors
+
+        dt = np.float16 if half else np.float32
+        save_safetensors(
+            path, {k: np.asarray(v, dtype=dt) for k, v in state_dict.items()},
+            metadata={"format": "pt"})
+        return
     import torch
 
     # copy: torch.from_numpy rejects/warns on non-writable jax-exported views

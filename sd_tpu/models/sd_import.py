@@ -267,7 +267,17 @@ def import_sd_unet(
 
 
 def load_sd_checkpoint(path: str) -> dict:
-    """torch.load an SD .ckpt and return the flat state_dict (numpy values)."""
+    """Load an SD checkpoint and return the flat state_dict (numpy values).
+
+    `.safetensors` files go through the native reader
+    (sd_tpu.utils.safetensors_io — no torch needed); anything else is a
+    torch pickle checkpoint (the reference's format, VAE/test/test.py:29-64)."""
+    if path.endswith(".safetensors"):
+        from sd_tpu.utils.safetensors_io import load_safetensors
+
+        raw = load_safetensors(path)
+        # modern distributions store fp16/bf16; importers expect fp32
+        return {k: np.asarray(v, dtype=np.float32) for k, v in raw.items()}
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
