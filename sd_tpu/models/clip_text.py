@@ -42,6 +42,10 @@ class ClipTextConfig:
     max_length: int = 77
     mlp_ratio: int = 4
     layer_norm_eps: float = 1e-5
+    # 1 = final layer output (SD v1 default). N>1 = take the hidden state
+    # N-1 layers from the end, then final LN — the community "CLIP skip"
+    # knob (clip_skip=2 is the SD2.x / anime-model convention).
+    clip_skip: int = 1
 
     @classmethod
     def vit_l_14(cls) -> "ClipTextConfig":
@@ -85,14 +89,26 @@ class ClipEncoderLayer(nn.Module):
 
 
 class ClipTextTransformer(nn.Module):
-    """CLIP text tower; returns last_hidden_state [B, L, C]."""
+    """CLIP text tower; returns last_hidden_state [B, L, C].
+
+    `clip_skip` (call arg, default from cfg): 1 = final layer, N>1 = the
+    hidden state N-1 layers before the end, then the final LayerNorm — the
+    standard community knob (A1111 convention; clip_skip=2 = penultimate,
+    how SD2.x conditions). Static, so each value is its own program; layers
+    after the selected one are dead code XLA eliminates (all layers still
+    trace so the param tree is invariant)."""
 
     cfg: ClipTextConfig = ClipTextConfig()
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, input_ids: jax.Array) -> jax.Array:
+    def __call__(self, input_ids: jax.Array,
+                 clip_skip: int | None = None) -> jax.Array:
         cfg = self.cfg
+        skip = cfg.clip_skip if clip_skip is None else int(clip_skip)
+        if not 1 <= skip <= cfg.num_layers:
+            raise ValueError(
+                f"clip_skip must be in [1, {cfg.num_layers}], got {skip}")
         B, L = input_ids.shape
         tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
                        name="token_embedding")(input_ids)
@@ -104,8 +120,11 @@ class ClipTextTransformer(nn.Module):
 
         # static causal bias [1, 1, L, L]
         causal = jnp.triu(jnp.full((L, L), -1e9, jnp.float32), k=1)[None, None]
+        states = []
         for i in range(cfg.num_layers):
             x = ClipEncoderLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(x, causal)
+            states.append(x)
+        x = states[cfg.num_layers - skip]
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="final_layer_norm")(x.astype(jnp.float32))
         return x.astype(tok.dtype)
@@ -186,9 +205,11 @@ class FrozenClipTextEmbedder:
             params = self.model.init(rng, dummy)["params"]
         self.params = params
 
-    def encode(self, params, input_ids: jax.Array) -> jax.Array:
+    def encode(self, params, input_ids: jax.Array,
+               clip_skip: int | None = None) -> jax.Array:
         return jax.lax.stop_gradient(
-            self.model.apply({"params": params}, input_ids)
+            self.model.apply({"params": params}, input_ids,
+                             clip_skip=clip_skip)
         )
 
     def __call__(self, texts: list[str]) -> jax.Array:

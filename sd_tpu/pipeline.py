@@ -259,20 +259,21 @@ class Text2ImagePipeline:
     def _program(self, batch: int, steps: int, guidance_scale: float,
                  eta: float, sampler: str = "ddim",
                  guidance_rescale: float = 0.0,
-                 latent_hw: tuple[int, int] | None = None):
+                 latent_hw: tuple[int, int] | None = None,
+                 clip_skip: int | None = None):
         lat = self.cfg["latent"]
         if latent_hw is None:
             latent_hw = (lat["image_size"], lat["image_size"])
         key = (batch, steps, guidance_scale, eta, sampler, guidance_rescale,
-               latent_hw)
+               latent_hw, clip_skip)
         if key in self._jitted:
             return self._jitted[key]
 
         shape = (batch, latent_hw[0], latent_hw[1], lat["channels"])
 
         def program(unet_params, vae_params, clip_params, ids, neg_ids, rng):
-            c = self.clip.encode(clip_params, ids)
-            uc = self.clip.encode(clip_params, neg_ids)
+            c = self.clip.encode(clip_params, ids, clip_skip=clip_skip)
+            uc = self.clip.encode(clip_params, neg_ids, clip_skip=clip_skip)
             if self.param_dtype is not None:
                 c, uc = c.astype(self.param_dtype), uc.astype(self.param_dtype)
             ld = self.ld
@@ -309,6 +310,7 @@ class Text2ImagePipeline:
         guidance_rescale: float = 0.0,
         height: int | None = None,
         width: int | None = None,
+        clip_skip: int | None = None,
     ) -> np.ndarray:
         """prompts → uint8 images [B, H, W, 3]. sampler: "ddim", "dpm"
         (DPM-Solver++(2M): ~15 steps ≈ DDIM-50 quality), "plms"
@@ -321,7 +323,10 @@ class Text2ImagePipeline:
         size). The UNet and VAE are fully convolutional, so any multiple of
         the total downsampling factor (64 px for SD v1) compiles its own
         cached program — the standard SD portrait/landscape surface.
-        negative_prompt: one string for the whole batch or one per prompt."""
+        negative_prompt: one string for the whole batch or one per prompt.
+        clip_skip: condition on an earlier CLIP hidden state (the community
+        knob: 2 = penultimate + final LN; default = the model config's
+        setting, 1 for SD v1)."""
         ids = jnp.asarray(self.clip.tokenize(list(prompts)))
         if isinstance(negative_prompt, str):
             negative_prompt = [negative_prompt] * len(prompts)
@@ -330,7 +335,8 @@ class Text2ImagePipeline:
         neg = jnp.asarray(self.clip.tokenize(list(negative_prompt)))
         fn = self._program(len(prompts), num_steps, guidance_scale, eta,
                            sampler, guidance_rescale,
-                           latent_hw=self._latent_hw(height, width))
+                           latent_hw=self._latent_hw(height, width),
+                           clip_skip=clip_skip)
         ids, neg, rng = self._place_inputs(ids, neg, jax.random.PRNGKey(seed))
         img = fn(self.unet_params, self.vae_params, self.clip.params,
                  ids, neg, rng)

@@ -52,6 +52,31 @@ def test_pipeline_generate_deterministic():
     assert not np.array_equal(base, imgs6)  # conditioning actually changed
 
 
+def test_pipeline_clip_skip():
+    """clip_skip routes conditioning through an earlier CLIP hidden state;
+    the smoke config's text tower has 2 layers so skip∈{1,2} are valid."""
+    import pytest
+
+    pipe = Text2ImagePipeline.from_config("configs/sd_txt2img_smoke.yaml",
+                                          param_dtype=None)
+    # perturb past the zero-init output convs so conditioning matters
+    import jax.numpy as jnp
+
+    pipe.unet_params = jax.tree.map(
+        lambda p: p + 0.05 * jnp.cos(1.7 * jnp.arange(p.size, dtype=jnp.float32)
+                                     ).reshape(p.shape).astype(p.dtype),
+        pipe.unet_params)
+    base = pipe.generate(["a cat"], num_steps=2, guidance_scale=2.0, seed=1)
+    skip1 = pipe.generate(["a cat"], num_steps=2, guidance_scale=2.0, seed=1,
+                          clip_skip=1)
+    skip2 = pipe.generate(["a cat"], num_steps=2, guidance_scale=2.0, seed=1,
+                          clip_skip=2)
+    np.testing.assert_array_equal(base, skip1)  # 1 == the model default
+    assert not np.array_equal(base, skip2)      # earlier state: different cond
+    with pytest.raises(ValueError, match="clip_skip"):
+        pipe.generate(["a cat"], num_steps=2, clip_skip=3)
+
+
 def test_pipeline_nonsquare_generate():
     """Arbitrary height/width (fully-convolutional UNet+VAE): the smoke
     config's total downsampling is f4 VAE × 2-level UNet = 8 px."""

@@ -48,6 +48,22 @@ def test_clip_text_import_matches_hf():
         theirs = hf(torch.tensor(ids_np.astype(np.int64))).last_hidden_state.numpy()
     np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=2e-3)
 
+    # clip_skip parity: hidden state N-1 layers from the end + final LN
+    # (the A1111/SD2.x convention; HF exposes it as hidden_states[-skip])
+    ours2 = np.asarray(model.apply({"params": params}, jnp.asarray(ids_np),
+                                   clip_skip=2))
+    with torch.no_grad():
+        hs = hf(torch.tensor(ids_np.astype(np.int64)),
+                output_hidden_states=True).hidden_states[-2]
+        theirs2 = hf.text_model.final_layer_norm(hs).numpy()
+    assert not np.allclose(ours2, theirs, atol=1e-3)  # actually different
+    np.testing.assert_allclose(ours2, theirs2, atol=2e-4, rtol=2e-3)
+
+    # clip_skip=1 is exactly the default path
+    ours1 = np.asarray(model.apply({"params": params}, jnp.asarray(ids_np),
+                                   clip_skip=1))
+    np.testing.assert_array_equal(ours1, ours)
+
 
 def test_vgg16_import_shapes_and_forward():
     """Importer maps a synthetic torchvision-layout state_dict; forward must
