@@ -147,16 +147,23 @@ class SimpleHashTokenizer:
         self.bos_token_id = vocab_size - 2
         self.eos_token_id = vocab_size - 1
 
-    def __call__(self, texts: list[str]) -> np.ndarray:
+    def encode_chunk(self, text: str) -> list[int]:
+        """Tokenize a fragment WITHOUT special tokens (prompt-weighting
+        chunk interface, sd_tpu.utils.prompt_weights)."""
         import hashlib
 
+        return [
+            int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+            % (self.vocab_size - 2)
+            for w in text.lower().split()
+        ]
+
+    def __call__(self, texts: list[str]) -> np.ndarray:
         out = np.full((len(texts), self.max_length), self.eos_token_id, np.int32)
         for i, text in enumerate(texts):
-            ids = [self.bos_token_id]
-            for w in text.lower().split()[: self.max_length - 2]:
-                h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
-                ids.append(h % (self.vocab_size - 2))
-            ids.append(self.eos_token_id)
+            ids = ([self.bos_token_id]
+                   + self.encode_chunk(text)[: self.max_length - 2]
+                   + [self.eos_token_id])
             out[i, : len(ids)] = ids
         return out
 
@@ -174,14 +181,22 @@ def get_clip_tokenizer(
 
             tok = CLIPTokenizer.from_pretrained(name, local_files_only=True)
 
-            def tokenize(texts: list[str]) -> np.ndarray:
-                enc = tok(
-                    texts, truncation=True, max_length=max_length,
-                    padding="max_length", return_tensors="np",
-                )
-                return enc["input_ids"].astype(np.int32)
+            class _HFTokenize:
+                max_length_ = max_length
+                bos_token_id = tok.bos_token_id
+                eos_token_id = tok.eos_token_id
 
-            return tokenize
+                def __call__(self, texts: list[str]) -> np.ndarray:
+                    enc = tok(
+                        texts, truncation=True, max_length=max_length,
+                        padding="max_length", return_tensors="np",
+                    )
+                    return enc["input_ids"].astype(np.int32)
+
+                def encode_chunk(self, text: str) -> list[int]:
+                    return tok(text, add_special_tokens=False)["input_ids"]
+
+            return _HFTokenize()
         except Exception:
             pass
     return SimpleHashTokenizer(max_length, vocab_size)

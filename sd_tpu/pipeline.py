@@ -237,6 +237,36 @@ class Text2ImagePipeline:
 
     # -- generation -----------------------------------------------------------
 
+    def _tokenize_weighted(self, texts: list[str]):
+        """Tokenize with prompt-attention weighting. Prompts without
+        emphasis markers take the plain tokenizer path with all-ones
+        weights (apply_prompt_weights is an exact no-op there), so plain
+        prompts stay bitwise-identical to the unweighted pipeline."""
+        from sd_tpu.utils.prompt_weights import (
+            parse_weighted_prompt,
+            tokenize_weighted,
+        )
+
+        tok = self.clip.tokenize
+        parsed = [parse_weighted_prompt(t) for t in texts]
+        trivial = all(len(p) == 1 and p[0][1] == 1.0 for p in parsed)
+        if trivial or not hasattr(tok, "encode_chunk"):
+            ids = np.asarray(tok(texts))
+            return jnp.asarray(ids), jnp.ones(ids.shape, jnp.float32)
+        ids, wts = tokenize_weighted(
+            texts, tok.encode_chunk, self.clip.cfg.max_length,
+            tok.bos_token_id, tok.eos_token_id)
+        return jnp.asarray(ids), jnp.asarray(wts)
+
+    def _place_batched(self, *arrays):
+        """Shard additional per-batch arrays on the data axis (the
+        companion to _place_inputs for inputs beyond ids/neg/rng)."""
+        if self.mesh is None:
+            return arrays
+        from sd_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(self.mesh, arrays)
+
     def _latent_hw(self, height: int | None, width: int | None):
         """Pixel height/width → latent grid, validated against the model's
         total downsampling (VAE factor × UNet down levels)."""
@@ -271,9 +301,14 @@ class Text2ImagePipeline:
 
         shape = (batch, latent_hw[0], latent_hw[1], lat["channels"])
 
-        def program(unet_params, vae_params, clip_params, ids, neg_ids, rng):
+        def program(unet_params, vae_params, clip_params, ids, neg_ids,
+                    wts, neg_wts, rng):
+            from sd_tpu.utils.prompt_weights import apply_prompt_weights
+
             c = self.clip.encode(clip_params, ids, clip_skip=clip_skip)
             uc = self.clip.encode(clip_params, neg_ids, clip_skip=clip_skip)
+            c = apply_prompt_weights(c, wts)
+            uc = apply_prompt_weights(uc, neg_wts)
             if self.param_dtype is not None:
                 c, uc = c.astype(self.param_dtype), uc.astype(self.param_dtype)
             ld = self.ld
@@ -326,20 +361,24 @@ class Text2ImagePipeline:
         negative_prompt: one string for the whole batch or one per prompt.
         clip_skip: condition on an earlier CLIP hidden state (the community
         knob: 2 = penultimate + final LN; default = the model config's
-        setting, 1 for SD v1)."""
-        ids = jnp.asarray(self.clip.tokenize(list(prompts)))
+        setting, 1 for SD v1).
+        Prompts (and negatives) support attention-weighting syntax —
+        `(emphasis)`, `(word:1.3)`, `[de-emphasis]`, `\\(` literals
+        (sd_tpu.utils.prompt_weights); plain prompts are bitwise-unchanged."""
         if isinstance(negative_prompt, str):
             negative_prompt = [negative_prompt] * len(prompts)
         elif len(negative_prompt) != len(prompts):
             raise ValueError("negative_prompt list must match prompts length")
-        neg = jnp.asarray(self.clip.tokenize(list(negative_prompt)))
+        ids, wts = self._tokenize_weighted(list(prompts))
+        neg, neg_wts = self._tokenize_weighted(list(negative_prompt))
         fn = self._program(len(prompts), num_steps, guidance_scale, eta,
                            sampler, guidance_rescale,
                            latent_hw=self._latent_hw(height, width),
                            clip_skip=clip_skip)
         ids, neg, rng = self._place_inputs(ids, neg, jax.random.PRNGKey(seed))
+        wts, neg_wts = self._place_batched(wts, neg_wts)
         img = fn(self.unet_params, self.vae_params, self.clip.params,
-                 ids, neg, rng)
+                 ids, neg, wts, neg_wts, rng)
         img = np.asarray(img.astype(jnp.float32))
         return np.clip((img + 1.0) * 127.5, 0, 255).astype(np.uint8)
 
