@@ -286,16 +286,51 @@ class Text2ImagePipeline:
                 f"(VAE f{f_vae} × UNet {f_unet}-level downsampling)")
         return height // f_vae, width // f_vae
 
+    def _vae_factor(self) -> int:
+        return 2 ** (len(self.cfg["first_stage"]["params"]
+                         .get("ch_mult", (1, 2, 4, 4))) - 1)
+
+    def _decode(self, vae_params, z, tile: int | None = None):
+        """VAE decode, optionally tiled: ks×ks latent patches with
+        border-falloff overlap-add (the reference's patched
+        decode_first_stage, ldm/diffusion/ddpm.py:1097-1139) so very large
+        images decode within fixed VMEM/HBM. Seam behavior matches the
+        community 'VAE tiling': per-tile GroupNorm stats differ slightly
+        from a whole-image decode; the Gaussian overlap weighting hides
+        the seams."""
+        from sd_tpu.models.autoencoder import AutoencoderKL
+
+        def dec(zp):
+            return self.vae.apply({"params": vae_params}, zp,
+                                  method=AutoencoderKL.decode)
+
+        B, H, W, C = z.shape
+        if tile is None or (H <= tile and W <= tile):
+            return dec(z)
+        from sd_tpu.diffusion.latent import patched_apply
+
+        ks = min(tile, H, W)
+        # largest stride <= 3*ks//4 that exactly covers both dims: latent
+        # dims are multiples of the UNet factor, so a common divisor exists
+        stride = ks
+        for s in range(min(3 * ks // 4, ks - 1), 0, -1):
+            if (H - ks) % s == 0 and (W - ks) % s == 0:
+                stride = s
+                break
+        return patched_apply(dec, z, ks=ks, stride=stride,
+                             scale=self._vae_factor())
+
     def _program(self, batch: int, steps: int, guidance_scale: float,
                  eta: float, sampler: str = "ddim",
                  guidance_rescale: float = 0.0,
                  latent_hw: tuple[int, int] | None = None,
-                 clip_skip: int | None = None):
+                 clip_skip: int | None = None,
+                 vae_tile: int | None = None):
         lat = self.cfg["latent"]
         if latent_hw is None:
             latent_hw = (lat["image_size"], lat["image_size"])
         key = (batch, steps, guidance_scale, eta, sampler, guidance_rescale,
-               latent_hw, clip_skip)
+               latent_hw, clip_skip, vae_tile)
         if key in self._jitted:
             return self._jitted[key]
 
@@ -320,13 +355,9 @@ class Text2ImagePipeline:
                 guidance_rescale=guidance_rescale,
                 **({"eta": eta} if sampler == "ddim" else {}),
             )
-            from sd_tpu.models.autoencoder import AutoencoderKL
-
-            img = self.vae.apply(
-                {"params": vae_params},
-                (z / ld.scale_factor).astype(z.dtype),
-                method=AutoencoderKL.decode,
-            )
+            img = self._decode(
+                vae_params, (z / ld.scale_factor).astype(z.dtype),
+                tile=vae_tile)
             return img
 
         fn = jax.jit(program)
@@ -346,6 +377,7 @@ class Text2ImagePipeline:
         height: int | None = None,
         width: int | None = None,
         clip_skip: int | None = None,
+        decode_tile: int | None = None,
     ) -> np.ndarray:
         """prompts → uint8 images [B, H, W, 3]. sampler: "ddim", "dpm"
         (DPM-Solver++(2M): ~15 steps ≈ DDIM-50 quality), "plms"
@@ -364,7 +396,10 @@ class Text2ImagePipeline:
         setting, 1 for SD v1).
         Prompts (and negatives) support attention-weighting syntax —
         `(emphasis)`, `(word:1.3)`, `[de-emphasis]`, `\\(` literals
-        (sd_tpu.utils.prompt_weights); plain prompts are bitwise-unchanged."""
+        (sd_tpu.utils.prompt_weights); plain prompts are bitwise-unchanged.
+        decode_tile: tiled VAE decode for very large images — tile size in
+        PIXELS (e.g. 512); latents decode as overlapping patches with
+        Gaussian overlap-add, bounding decoder memory at any resolution."""
         if isinstance(negative_prompt, str):
             negative_prompt = [negative_prompt] * len(prompts)
         elif len(negative_prompt) != len(prompts):
@@ -374,7 +409,10 @@ class Text2ImagePipeline:
         fn = self._program(len(prompts), num_steps, guidance_scale, eta,
                            sampler, guidance_rescale,
                            latent_hw=self._latent_hw(height, width),
-                           clip_skip=clip_skip)
+                           clip_skip=clip_skip,
+                           vae_tile=(None if decode_tile is None
+                                     else max(1, decode_tile
+                                              // self._vae_factor())))
         ids, neg, rng = self._place_inputs(ids, neg, jax.random.PRNGKey(seed))
         wts, neg_wts = self._place_batched(wts, neg_wts)
         img = fn(self.unet_params, self.vae_params, self.clip.params,
