@@ -52,6 +52,8 @@ def main():
     }.get(task)
     if run is None and task == "ldm_sr":
         from sd_tpu.train.sr import train_ldm_sr as run
+    if run is None and task == "textual_inversion":
+        from sd_tpu.train.textual_inversion import train_textual_inversion as run
     if run is None:
         raise SystemExit(f"unknown task {task!r}")
     run(cfg, args.data, out_dir=out, max_steps=args.max_steps)

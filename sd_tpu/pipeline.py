@@ -42,6 +42,7 @@ class Text2ImagePipeline:
             self.clip.params = cast(self.clip.params)
         self._jitted = {}
         self.mesh = None  # set by shard_for_serving()
+        self._ti_expansions: dict[str, str] = {}  # load_textual_inversion
 
     # -- constructors --------------------------------------------------------
 
@@ -237,7 +238,47 @@ class Text2ImagePipeline:
 
     # -- generation -----------------------------------------------------------
 
+    def load_textual_inversion(self, path: str) -> list[str]:
+        """Load learned concept embeddings (textual inversion,
+        arXiv:2208.01618) from a `.safetensors` embedding file written by
+        `sd_tpu.train.textual_inversion` ({placeholder: [num_vectors, C]}).
+        The placeholder's token rows are patched into the text encoder and
+        multi-vector placeholders expand transparently in prompts. Returns
+        the loaded placeholder tokens."""
+        from sd_tpu.train.textual_inversion import (
+            expand_placeholder,
+            patch_embedding_rows,
+            placeholder_ids,
+        )
+        from sd_tpu.utils.safetensors_io import load_safetensors
+
+        tensors = load_safetensors(path)
+        loaded = []
+        for token, vec in tensors.items():
+            vec = np.asarray(vec, np.float32)
+            if vec.ndim == 1:
+                vec = vec[None]
+            ids = placeholder_ids(self.clip.tokenize, token, vec.shape[0])
+            if vec.shape[1] != self.clip.cfg.hidden_size:
+                raise ValueError(
+                    f"{token}: embedding dim {vec.shape[1]} != text encoder "
+                    f"hidden size {self.clip.cfg.hidden_size}")
+            self.clip.params = patch_embedding_rows(self.clip.params, ids, vec)
+            self._ti_expansions[token] = " ".join(
+                expand_placeholder(token, vec.shape[0]))
+            loaded.append(token)
+        if self.mesh is not None:  # keep serving placement (replicated)
+            from sd_tpu.parallel.mesh import replicated
+
+            self.clip.params = jax.device_put(self.clip.params,
+                                              replicated(self.mesh))
+        return loaded
+
     def _tokenize_weighted(self, texts: list[str]):
+        if self._ti_expansions:
+            texts = [t for t in texts]
+            for token, phrase in self._ti_expansions.items():
+                texts = [t.replace(token, phrase) for t in texts]
         """Tokenize with prompt-attention weighting. Prompts without
         emphasis markers take the plain tokenizer path with all-ones
         weights (apply_prompt_weights is an exact no-op there), so plain
