@@ -175,7 +175,11 @@ class Text2ImagePipeline:
         happens once, host-side; the program cache resets."""
         from sd_tpu.train.lora import merge_lora
 
-        if isinstance(lora, str):
+        if isinstance(lora, str) and lora.endswith(".safetensors"):
+            from sd_tpu.train.lora import load_lora_safetensors
+
+            lora = load_lora_safetensors(lora)
+        elif isinstance(lora, str):
             from sd_tpu.train.checkpoint import restore_pytree
 
             tree = restore_pytree(lora)
@@ -473,9 +477,10 @@ class Text2ImagePipeline:
 
     def _img2img_program(self, batch: int, steps: int, guidance_scale: float,
                          t_start: int, masked: bool,
-                         guidance_rescale: float):
+                         guidance_rescale: float,
+                         clip_skip: int | None = None):
         key = ("i2i", batch, steps, guidance_scale, t_start, masked,
-               guidance_rescale)
+               guidance_rescale, clip_skip)
         if key in self._jitted:
             return self._jitted[key]
 
@@ -487,9 +492,13 @@ class Text2ImagePipeline:
         dd = sampler.make_schedule(steps)
 
         def program(unet_params, vae_params, clip_params, x, ids, neg_ids,
-                    mask, rng):
-            c = self.clip.encode(clip_params, ids)
-            uc = self.clip.encode(clip_params, neg_ids)
+                    wts, neg_wts, mask, rng):
+            from sd_tpu.utils.prompt_weights import apply_prompt_weights
+
+            c = self.clip.encode(clip_params, ids, clip_skip=clip_skip)
+            uc = self.clip.encode(clip_params, neg_ids, clip_skip=clip_skip)
+            c = apply_prompt_weights(c, wts)
+            uc = apply_prompt_weights(uc, neg_wts)
             if self.param_dtype is not None:
                 c, uc = c.astype(self.param_dtype), uc.astype(self.param_dtype)
             cond = {"c_crossattn": [c]}
@@ -520,12 +529,13 @@ class Text2ImagePipeline:
         prompts: Sequence[str],
         init_images,
         strength: float = 0.75,
-        negative_prompt: str = "",
+        negative_prompt: str | Sequence[str] = "",
         num_steps: int = 50,
         guidance_scale: float = 7.5,
         seed: int = 0,
         mask=None,
         guidance_rescale: float = 0.0,
+        clip_skip: int | None = None,
     ) -> np.ndarray:
         """Guided image-to-image (reference: DDIM/ddim.py:206-241
         stochastic_encode/decode): re-noise the init image's latent to
@@ -558,12 +568,17 @@ class Text2ImagePipeline:
                 m = m[:, ::sy, :: sx][:, : lat_hw[0], : lat_hw[1]]
             m = jnp.asarray((m > 0.5).astype(np.float32))
 
-        ids = jnp.asarray(self.clip.tokenize(list(prompts)))
-        neg = jnp.asarray(self.clip.tokenize([negative_prompt] * b))
+        if isinstance(negative_prompt, str):
+            negative_prompt = [negative_prompt] * b
+        elif len(negative_prompt) != b:
+            raise ValueError("negative_prompt list must match prompts length")
+        ids, wts = self._tokenize_weighted(list(prompts))
+        neg, neg_wts = self._tokenize_weighted(list(negative_prompt))
         fn = self._img2img_program(b, num_steps, guidance_scale, t_start,
-                                   mask is not None, guidance_rescale)
+                                   mask is not None, guidance_rescale,
+                                   clip_skip=clip_skip)
         img = fn(self.unet_params, self.vae_params, self.clip.params,
-                 x, ids, neg, m, jax.random.PRNGKey(seed))
+                 x, ids, neg, wts, neg_wts, m, jax.random.PRNGKey(seed))
         img = np.asarray(img.astype(jnp.float32))
         return np.clip((img + 1.0) * 127.5, 0, 255).astype(np.uint8)
 

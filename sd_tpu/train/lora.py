@@ -92,3 +92,39 @@ def merge_lora(params: PyTree, lora: PyTree, scale: float = 1.0) -> PyTree:
 
 def count_lora_params(lora: PyTree) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(lora))
+
+
+def save_lora_safetensors(path: str, lora: PyTree,
+                          metadata: dict | None = None) -> None:
+    """Write a factor tree as a `.safetensors` LoRA file
+    (`<kernel>.a` / `<kernel>.b` tensor names) — the distribution format
+    for SD adapters."""
+    from sd_tpu.utils.safetensors_io import save_safetensors
+
+    flat = {}
+    for k, pair in lora.items():
+        flat[k + ".a"] = np.asarray(pair["a"], np.float32)
+        flat[k + ".b"] = np.asarray(pair["b"], np.float32)
+    meta = {"sd_tpu": "lora"}
+    if metadata:
+        meta.update({str(a): str(b) for a, b in metadata.items()})
+    save_safetensors(path, flat, metadata=meta)
+
+
+def load_lora_safetensors(path: str) -> PyTree:
+    """Read a `.safetensors` LoRA file back into a factor tree."""
+    from sd_tpu.utils.safetensors_io import load_safetensors
+
+    out: dict = {}
+    for name, v in load_safetensors(path).items():
+        base, leaf = name.rsplit(".", 1)
+        if leaf not in ("a", "b"):
+            raise ValueError(f"unexpected LoRA tensor name {name!r}")
+        out.setdefault(base, {})[leaf] = jnp.asarray(np.asarray(v))
+    for k, pair in out.items():
+        if set(pair) != {"a", "b"}:
+            raise ValueError(f"LoRA kernel {k!r} missing a/b factor")
+        if pair["a"].shape[1] != pair["b"].shape[0]:
+            raise ValueError(f"LoRA kernel {k!r} rank mismatch "
+                             f"{pair['a'].shape} @ {pair['b'].shape}")
+    return out

@@ -528,6 +528,15 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
 
     state = _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
               max_steps=max_steps, batch_transform=embed_batch)
+    if lora_cfg:
+        # distribution artifact alongside the resume ckpt (EMA factors)
+        from sd_tpu.train.lora import save_lora_safetensors
+
+        save_lora_safetensors(
+            os.path.join(out_dir, "lora.safetensors"),
+            ema_eval_params(state),
+            metadata={"rank": str(lora_cfg.get("rank", 8)),
+                      "scale": str(lora_cfg.get("scale", 1.0))})
     return state
 
 

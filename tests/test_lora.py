@@ -147,3 +147,36 @@ def test_train_ldm_lora_and_serving(tmp_path):
     pipe.load_lora(os.path.join(run, "ckpt"), scale=1.0)
     imgs = pipe.generate(["a cat"], num_steps=2, guidance_scale=1.0)
     assert imgs.shape[0] == 1 and imgs.dtype == np.uint8
+
+    # the trainer also wrote the .safetensors distribution artifact, and
+    # loading it merges the same EMA factors
+    st_path = os.path.join(run, "lora.safetensors")
+    assert os.path.exists(st_path)
+    pipe2 = Text2ImagePipeline(load_yaml("configs/sd_txt2img_smoke.yaml"),
+                               param_dtype=None)
+    pipe2.load_lora(st_path, scale=1.0)
+    imgs2 = pipe2.generate(["a cat"], num_steps=2, guidance_scale=1.0)
+    np.testing.assert_array_equal(imgs, imgs2)
+
+
+def test_lora_safetensors_roundtrip(unet_params):
+    from sd_tpu.train.lora import (
+        init_lora,
+        load_lora_safetensors,
+        save_lora_safetensors,
+    )
+    import tempfile, os
+
+    lora = init_lora(unet_params, rank=4, rng=jax.random.PRNGKey(0))
+    # give b nonzero values so the round-trip is meaningful
+    lora = jax.tree.map(lambda x: x + 0.25, lora)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "l.safetensors")
+        save_lora_safetensors(p, lora, metadata={"rank": "4"})
+        back = load_lora_safetensors(p)
+    assert set(back) == set(lora)
+    for k in lora:
+        np.testing.assert_array_equal(np.asarray(back[k]["a"]),
+                                      np.asarray(lora[k]["a"]), err_msg=k)
+        np.testing.assert_array_equal(np.asarray(back[k]["b"]),
+                                      np.asarray(lora[k]["b"]), err_msg=k)

@@ -195,3 +195,19 @@ def test_pipeline_img2img_and_inpaint():
     regen = np.mean(np.abs(out[:, :, size // 2:].astype(int)
                            - init[:, :, size // 2:].astype(int)))
     assert kept < regen, (kept, regen)
+
+    # img2img shares the weighted-prompt / clip_skip surface with generate.
+    # Perturb past the zero-init output convs so conditioning matters.
+    import jax
+    import jax.numpy as jnp
+
+    pipe.unet_params = jax.tree.map(
+        lambda p: p + 0.05 * jnp.cos(1.7 * jnp.arange(p.size, dtype=jnp.float32)
+                                     ).reshape(p.shape).astype(p.dtype),
+        pipe.unet_params)
+    w = pipe.img2img(["a (cat:1.7)"], init, strength=0.6, num_steps=3,
+                     guidance_scale=2.0, seed=3, clip_skip=2)
+    assert w.shape == init.shape and w.dtype == np.uint8
+    plain = pipe.img2img(["a cat"], init, strength=0.6, num_steps=3,
+                         guidance_scale=2.0, seed=3, clip_skip=2)
+    assert not np.array_equal(w, plain)
