@@ -55,22 +55,26 @@ def apply_conditioned(
     """DiffusionWrapper.forward: route conditioning into the UNet.
 
     cond keys follow the reference: {'c_concat': [..], 'c_crossattn': [..]}
-    (lists are concatenated along channels / tokens).
+    (lists are concatenated along channels / tokens). A 'c_control' entry
+    (the ControlNet hint image, models/controlnet.py — beyond-reference)
+    is forwarded as the `control=` kwarg to a controlled unet_apply.
     """
+    kw = ({"control": cond["c_control"]}
+          if cond is not None and "c_control" in cond else {})
     if conditioning_key is None or cond is None:
-        return unet_apply(params, x, t, None)
+        return unet_apply(params, x, t, None, **kw)
     if conditioning_key == "concat":
         xc = jnp.concatenate([x] + list(cond["c_concat"]), axis=-1)
-        return unet_apply(params, xc, t, None)
+        return unet_apply(params, xc, t, None, **kw)
     if conditioning_key == "crossattn":
         cc = jnp.concatenate(list(cond["c_crossattn"]), axis=1)
-        return unet_apply(params, x, t, cc)
+        return unet_apply(params, x, t, cc, **kw)
     if conditioning_key == "hybrid":
         xc = jnp.concatenate([x] + list(cond["c_concat"]), axis=-1)
         cc = jnp.concatenate(list(cond["c_crossattn"]), axis=1)
-        return unet_apply(params, xc, t, cc)
+        return unet_apply(params, xc, t, cc, **kw)
     if conditioning_key == "adm":
-        return unet_apply(params, x, t, None, cond["c_adm"])
+        return unet_apply(params, x, t, None, cond["c_adm"], **kw)
     raise ValueError(f"unknown conditioning key {conditioning_key!r}")
 
 
@@ -146,6 +150,9 @@ class LatentDiffusion:
             cond = {"c_concat": [batch["concat_cond"]]}
         elif self.conditioning_key == "adm":
             cond = {"c_adm": batch["class_label"]}
+        if "hint" in batch:  # ControlNet pixel-space control image
+            cond = dict(cond or {})
+            cond["c_control"] = batch["hint"]
         return z, cond
 
     # -- model application ---------------------------------------------------

@@ -141,8 +141,13 @@ class UNetModel(nn.Module):
         context: jax.Array | None = None,  # [B, 77, context_dim] text embedding
         y: jax.Array | None = None,        # [B] class labels (adm conditioning)
         *,
+        control: Sequence[jax.Array] | None = None,
         deterministic: bool = True,
     ) -> jax.Array:
+        """`control`: ControlNet residuals (models/controlnet.py) — one per
+        input-block output in order plus a final middle-block residual
+        (len == len(hs) + 1); added to the skip connections and the middle
+        activation (Zhang et al., arXiv:2302.05543)."""
         mc = self.model_channels
         time_embed_dim = mc * 4
 
@@ -190,10 +195,20 @@ class UNetModel(nn.Module):
         h = self._attn(h, context, ds, "mid_attn", deterministic)
         h = res(h, h.shape[-1], "mid_res2")
 
+        ctrl = list(control) if control is not None else None
+        if ctrl is not None:
+            if len(ctrl) != len(hs) + 1:
+                raise ValueError(
+                    f"control expects {len(hs) + 1} residuals, got {len(ctrl)}")
+            h = h + ctrl.pop()
+
         # ---- output blocks (skip concat) ----------------------------------
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             for i in range(self.num_res_blocks + 1):
-                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                skip = hs.pop()
+                if ctrl is not None:
+                    skip = skip + ctrl.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
                 h = res(h, mult * mc, f"out_{level}_{i}_res")
                 if ds in self.attention_resolutions:
                     h = self._attn(h, context, ds, f"out_{level}_{i}_attn", deterministic)

@@ -43,6 +43,9 @@ class Text2ImagePipeline:
         self._jitted = {}
         self.mesh = None  # set by shard_for_serving()
         self._ti_expansions: dict[str, str] = {}  # load_textual_inversion
+        self.controlnet = None        # set by load_controlnet()
+        self.cn_params = None
+        self.control_scale = 1.0
 
     # -- constructors --------------------------------------------------------
 
@@ -190,6 +193,39 @@ class Text2ImagePipeline:
             lambda x: x.astype(self.param_dtype)
             if self.param_dtype is not None else x, lora)
         self.unet_params = merge_lora(self.unet_params, lora, scale)
+        self._jitted = {}
+
+    def load_controlnet(self, source, control_scale: float = 1.0) -> None:
+        """Attach a trained ControlNet branch (models/controlnet.py,
+        arXiv:2302.05543) for structure-guided generation. `source` is a
+        training-run directory (train_ldm with a `controlnet:` config
+        block — EMA weights preferred), its ckpt subdirectory, or a raw
+        param tree. Subsequent `generate(control_image=...)` calls run
+        the controlled UNet; calls without a control image are unchanged.
+        """
+        import os
+
+        from sd_tpu.models.controlnet import controlnet_from_unet_config
+
+        f_vae = self._vae_factor()
+        self.controlnet = controlnet_from_unet_config(
+            self.cfg["unet"]["params"],
+            hint_downsamples=f_vae.bit_length() - 1, dtype=self.param_dtype)
+        if isinstance(source, str):
+            from sd_tpu.train.checkpoint import restore_pytree
+
+            if os.path.isdir(os.path.join(source, "ckpt")):
+                source = os.path.join(source, "ckpt")
+            tree = restore_pytree(source)
+            ema = tree.get("ema")
+            source = (ema["shadow"] if isinstance(ema, dict)
+                      and ema.get("shadow") is not None else tree["params"])
+        if self.param_dtype is not None:
+            source = jax.tree.map(
+                lambda x: x.astype(self.param_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, source)
+        self.cn_params = source
+        self.control_scale = float(control_scale)
         self._jitted = {}
 
     # -- multi-chip serving ----------------------------------------------------
@@ -370,19 +406,21 @@ class Text2ImagePipeline:
                  guidance_rescale: float = 0.0,
                  latent_hw: tuple[int, int] | None = None,
                  clip_skip: int | None = None,
-                 vae_tile: int | None = None):
+                 vae_tile: int | None = None,
+                 controlled: bool = False):
         lat = self.cfg["latent"]
         if latent_hw is None:
             latent_hw = (lat["image_size"], lat["image_size"])
         key = (batch, steps, guidance_scale, eta, sampler, guidance_rescale,
-               latent_hw, clip_skip, vae_tile)
+               latent_hw, clip_skip, vae_tile,
+               (self.control_scale if controlled else None))
         if key in self._jitted:
             return self._jitted[key]
 
         shape = (batch, latent_hw[0], latent_hw[1], lat["channels"])
 
         def program(unet_params, vae_params, clip_params, ids, neg_ids,
-                    wts, neg_wts, rng):
+                    wts, neg_wts, rng, cn_params=None, hint=None):
             from sd_tpu.utils.prompt_weights import apply_prompt_weights
 
             c = self.clip.encode(clip_params, ids, clip_skip=clip_skip)
@@ -392,9 +430,24 @@ class Text2ImagePipeline:
             if self.param_dtype is not None:
                 c, uc = c.astype(self.param_dtype), uc.astype(self.param_dtype)
             ld = self.ld
+            cond = {"c_crossattn": [c]}
+            uncond = {"c_crossattn": [uc]}
+            params = unet_params
+            if controlled:
+                # controlled UNet: residuals from the control branch enter
+                # both CFG passes (models/controlnet.py)
+                import dataclasses as _dc
+
+                from sd_tpu.models.controlnet import controlled_apply_fn
+
+                ld = _dc.replace(ld, unet_apply=controlled_apply_fn(
+                    self.unet, self.controlnet, self.control_scale))
+                params = {"unet": unet_params, "controlnet": cn_params}
+                cond["c_control"] = hint
+                uncond["c_control"] = hint
             z = ld.sample(
-                unet_params, rng, shape,
-                cond={"c_crossattn": [c]}, uncond={"c_crossattn": [uc]},
+                params, rng, shape,
+                cond=cond, uncond=uncond,
                 guidance_scale=guidance_scale, num_steps=steps,
                 sampler=sampler, decode=False,
                 guidance_rescale=guidance_rescale,
@@ -423,6 +476,7 @@ class Text2ImagePipeline:
         width: int | None = None,
         clip_skip: int | None = None,
         decode_tile: int | None = None,
+        control_image=None,
     ) -> np.ndarray:
         """prompts → uint8 images [B, H, W, 3]. sampler: "ddim", "dpm"
         (DPM-Solver++(2M): ~15 steps ≈ DDIM-50 quality), "plms"
@@ -444,11 +498,35 @@ class Text2ImagePipeline:
         (sd_tpu.utils.prompt_weights); plain prompts are bitwise-unchanged.
         decode_tile: tiled VAE decode for very large images — tile size in
         PIXELS (e.g. 512); latents decode as overlapping patches with
-        Gaussian overlap-add, bounding decoder memory at any resolution."""
+        Gaussian overlap-add, bounding decoder memory at any resolution.
+        control_image: ControlNet hint (after load_controlnet) — the
+        pixel-resolution conditioning map ([B?, H, W, C] uint8 or float
+        [0,1], e.g. sd_tpu.data.hints.edge_hint output); structure-guided
+        generation per arXiv:2302.05543."""
         if isinstance(negative_prompt, str):
             negative_prompt = [negative_prompt] * len(prompts)
         elif len(negative_prompt) != len(prompts):
             raise ValueError("negative_prompt list must match prompts length")
+        controlled = control_image is not None
+        hint = None
+        if controlled:
+            if self.controlnet is None:
+                raise ValueError("call load_controlnet() before passing "
+                                 "control_image")
+            hint = np.asarray(control_image)
+            if hint.dtype == np.uint8:
+                hint = hint.astype(np.float32) / 255.0
+            hint = hint.astype(np.float32)
+            if hint.ndim == 3:
+                hint = np.broadcast_to(hint[None],
+                                       (len(prompts),) + hint.shape)
+            lh, lw = self._latent_hw(height, width)
+            f = self._vae_factor()
+            if hint.shape[1:3] != (lh * f, lw * f):
+                raise ValueError(
+                    f"control_image must be {(lh * f, lw * f)} pixels, "
+                    f"got {hint.shape[1:3]}")
+            hint = jnp.asarray(hint)
         ids, wts = self._tokenize_weighted(list(prompts))
         neg, neg_wts = self._tokenize_weighted(list(negative_prompt))
         fn = self._program(len(prompts), num_steps, guidance_scale, eta,
@@ -457,11 +535,18 @@ class Text2ImagePipeline:
                            clip_skip=clip_skip,
                            vae_tile=(None if decode_tile is None
                                      else max(1, decode_tile
-                                              // self._vae_factor())))
+                                              // self._vae_factor())),
+                           controlled=controlled)
         ids, neg, rng = self._place_inputs(ids, neg, jax.random.PRNGKey(seed))
         wts, neg_wts = self._place_batched(wts, neg_wts)
-        img = fn(self.unet_params, self.vae_params, self.clip.params,
-                 ids, neg, wts, neg_wts, rng)
+        if controlled:
+            (hint,) = self._place_batched(hint)
+            img = fn(self.unet_params, self.vae_params, self.clip.params,
+                     ids, neg, wts, neg_wts, rng,
+                     cn_params=self.cn_params, hint=hint)
+        else:
+            img = fn(self.unet_params, self.vae_params, self.clip.params,
+                     ids, neg, wts, neg_wts, rng)
         img = np.asarray(img.astype(jnp.float32))
         return np.clip((img + 1.0) * 127.5, 0, 255).astype(np.uint8)
 

@@ -443,7 +443,60 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
     learn_logvar = tc.get("learn_logvar", False)
 
     lora_cfg = cfg.get("lora")
-    if lora_cfg:
+    cn_cfg = cfg.get("controlnet")
+    if lora_cfg and cn_cfg:
+        raise ValueError("lora and controlnet training are exclusive")
+    if cn_cfg:
+        # ControlNet training (arXiv:2302.05543, beyond-reference): the
+        # base UNet/VAE/CLIP are frozen closure constants; the optimizer/
+        # EMA/checkpoint state is the control branch only. The branch's
+        # encoder initialises from the (trained) base UNet encoder; zero
+        # convs make step 0 an exact no-op of the base model.
+        if cond_trainable:
+            raise ValueError("controlnet and cond_stage.trainable are "
+                             "exclusive")
+        from sd_tpu.data.hints import HINT_FNS
+        from sd_tpu.models.controlnet import (
+            controlled_apply_fn,
+            controlnet_from_unet_config,
+            init_controlnet_from_unet,
+        )
+
+        hint_fn = HINT_FNS[cn_cfg.get("hint", "canny")]
+        f_vae = first_stage_factor(cfg["first_stage"])
+        size, chl = cfg["latent"]["image_size"], cfg["latent"]["channels"]
+        cn = controlnet_from_unet_config(
+            cfg["unet"]["params"],
+            hint_channels=int(cn_cfg.get("hint_channels", 3)),
+            hint_downsamples=f_vae.bit_length() - 1)
+        cn_params = cn.init(
+            jax.random.PRNGKey(cfg.get("seed", 0) ^ 0xC077),
+            jnp.zeros((1, size, size, chl)),
+            jnp.zeros((1, size * f_vae, size * f_vae, cn.hint_channels)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, clip.cfg.max_length, clip.cfg.hidden_size)),
+        )["params"]
+        cn_params = init_controlnet_from_unet(cn_params, uparams)
+        print(f"[ldm] controlnet: {count_params(cn_params)/1e6:.1f}M "
+              f"trainable params (base frozen: "
+              f"{count_params(uparams)/1e6:.1f}M)")
+        base_uparams = uparams
+        ld = _dc.replace(ld, unet_apply=controlled_apply_fn(unet, cn))
+        train_params = cn_params
+
+        def loss_fn(p, batch, rng, logvar):
+            return ld.training_loss(
+                {"unet": base_uparams, "controlnet": p}, batch, rng,
+                learned_logvar=logvar)
+
+        def embed_batch(batch):
+            out = {"image": jnp.asarray(batch["image"])}
+            texts = _drop_texts(batch.get("txt_raw",
+                                          [""] * len(batch["image"])))
+            out["txt_emb"] = clip(texts)
+            out["hint"] = jnp.asarray(hint_fn(np.asarray(batch["image"])))
+            return out
+    elif lora_cfg:
         # LoRA fine-tuning (arXiv:2106.09685, beyond-reference): the base
         # UNet is a frozen closure constant; the optimizer/EMA/checkpoint
         # state is the low-rank factor tree only. merge_lora inside the
