@@ -194,7 +194,11 @@ def init_controlnet_from_unet(cn_params: PyTree, unet_params: PyTree) -> PyTree:
             name.startswith(("in_", "mid_", "time_embed", "label_emb"))
             or name == "input_conv"
         ):
-            out[name] = jax.tree.map(lambda a: a, sub)
+            # materialize COPIES: the control branch becomes the (donated)
+            # optimizer state while the base stays a frozen closure
+            # constant — sharing buffers would let the donated train step
+            # delete the base's arrays out from under the jitted loss
+            out[name] = jax.tree.map(lambda a: jnp.array(a), sub)
     return out
 
 

@@ -462,6 +462,26 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
             init_controlnet_from_unet,
         )
 
+        if cn_cfg.get("base_run"):
+            # the paper's setup (arXiv:2302.05543 §3.2): control a TRAINED
+            # base model — load the base UNet's EMA weights from a prior
+            # training run (scripts/train.py output dir or its ckpt)
+            from sd_tpu.train.checkpoint import restore_pytree
+
+            base_dir = cn_cfg["base_run"]
+            if os.path.isdir(os.path.join(base_dir, "ckpt")):
+                base_dir = os.path.join(base_dir, "ckpt")
+            tree = restore_pytree(base_dir)
+            ema_t = tree.get("ema")
+            loaded = (ema_t["shadow"] if isinstance(ema_t, dict)
+                      and ema_t.get("shadow") is not None
+                      else tree["params"])
+            uparams = jax.tree.map(lambda s, p: jnp.asarray(s, p.dtype),
+                                   loaded, uparams)
+            ld = apply_calibration(ld, cfg, base_dir)
+            print(f"[ldm] controlnet base UNet loaded from {base_dir} "
+                  f"(scale_factor={ld.scale_factor:.4f})")
+
         hint_fn = HINT_FNS[cn_cfg.get("hint", "canny")]
         f_vae = first_stage_factor(cfg["first_stage"])
         size, chl = cfg["latent"]["image_size"], cfg["latent"]["channels"]

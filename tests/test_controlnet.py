@@ -146,9 +146,10 @@ def test_edge_hint():
 
 
 def test_train_controlnet_and_serving(tmp_path):
-    """End-to-end: a `controlnet:` config block trains ONLY the control
-    branch (base frozen), the run loads into the serving pipeline via
-    load_controlnet, and control_image steers generation."""
+    """End-to-end, the paper's setup: train a base LDM, train a ControlNet
+    OVER it (`controlnet.base_run` — base frozen, encoder copied from the
+    trained base), deploy base + branch into the serving pipeline, and
+    steer generation with a control image."""
     from PIL import Image
 
     from sd_tpu.data.hints import edge_hint
@@ -164,18 +165,23 @@ def test_train_controlnet_and_serving(tmp_path):
 
     cfg = load_yaml("configs/sd_txt2img_smoke.yaml")
     cfg["train"].update(total_steps=2, checkpoint_every=2, eval_every=100)
-    cfg["controlnet"] = {"hint": "canny"}
-    run = str(tmp_path / "run")
-    state = train_ldm(cfg, str(d), out_dir=run)
+    run_base = str(tmp_path / "base")
+    train_ldm(cfg, str(d), out_dir=run_base)
+
+    cn_cfg = load_yaml("configs/sd_txt2img_smoke.yaml")
+    cn_cfg["train"].update(total_steps=2, checkpoint_every=2, eval_every=100)
+    cn_cfg["controlnet"] = {"hint": "canny", "base_run": run_base}
+    run_cn = str(tmp_path / "cn")
+    state = train_ldm(cn_cfg, str(d), out_dir=run_cn)
     assert int(state.step) == 2
     # the optimizer state is the control branch, not the UNet
     assert "zero_conv_0" in state.params and "hint_zero" in state.params
     assert "out_conv" not in state.params
 
-    pipe = Text2ImagePipeline(load_yaml("configs/sd_txt2img_smoke.yaml"),
-                              param_dtype=None)
+    pipe = Text2ImagePipeline.from_run("configs/sd_txt2img_smoke.yaml",
+                                       run_base, param_dtype=None)
     plain = pipe.generate(["a cat"], num_steps=2, guidance_scale=2.0)
-    pipe.load_controlnet(run, control_scale=1.0)
+    pipe.load_controlnet(run_cn, control_scale=1.0)
 
     img = np.zeros((32, 32, 3), np.uint8)
     img[:, 16:] = 255
