@@ -40,6 +40,17 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--controlnet", default=None,
+                    help="ControlNet training-run dir (ldm task): run the "
+                         "controlled UNet (arXiv:2302.05543)")
+    ap.add_argument("--control-image", default=None,
+                    help="conditioning image for --controlnet; by default "
+                         "edge_hint() extracts edges from it first")
+    ap.add_argument("--control-extract", default="canny",
+                    choices=["canny", "none"],
+                    help="hint extraction applied to --control-image "
+                         "('none' = the file already IS the hint map)")
+    ap.add_argument("--control-scale", type=float, default=1.0)
     args = ap.parse_args()
 
     import jax
@@ -98,11 +109,55 @@ def main():
     c = clip(prompts)
     uc = clip([args.negative_prompt] * len(prompts))
     shape = (len(prompts), lat["image_size"], lat["image_size"], lat["channels"])
+    cond = {"c_crossattn": [c]}
+    uncond = {"c_crossattn": [uc]}
+
+    if args.controlnet:
+        # controlled sampling: residuals from the trained branch steer both
+        # CFG passes (models/controlnet.py; serving analog: pipeline
+        # load_controlnet + generate(control_image=...))
+        import dataclasses as _dc
+
+        from PIL import Image
+
+        from sd_tpu.models.controlnet import (
+            controlled_apply_fn,
+            controlnet_from_unet_config,
+        )
+        from sd_tpu.train.checkpoint import restore_pytree
+        from sd_tpu.train.runners import first_stage_factor
+
+        if not args.control_image:
+            raise SystemExit("--controlnet needs --control-image")
+        f_vae = first_stage_factor(cfg["first_stage"])
+        pix = lat["image_size"] * f_vae
+        im = Image.open(args.control_image).convert("RGB").resize((pix, pix))
+        hint = np.asarray(im, np.float32) / 255.0
+        if args.control_extract == "canny":
+            from sd_tpu.data.hints import edge_hint
+
+            hint = edge_hint(np.asarray(im))
+        hint = jnp.asarray(np.broadcast_to(hint[None],
+                                           (len(prompts),) + hint.shape))
+        cn_dir = args.controlnet
+        if os.path.isdir(os.path.join(cn_dir, "ckpt")):
+            cn_dir = os.path.join(cn_dir, "ckpt")
+        tree = restore_pytree(cn_dir)
+        ema_t = tree.get("ema")
+        cn_params = (ema_t["shadow"] if isinstance(ema_t, dict)
+                     and ema_t.get("shadow") is not None else tree["params"])
+        cn = controlnet_from_unet_config(
+            cfg["unet"]["params"], hint_downsamples=f_vae.bit_length() - 1)
+        ld = _dc.replace(ld, unet_apply=controlled_apply_fn(
+            unet, cn, args.control_scale))
+        uparams = {"unet": uparams, "controlnet": cn_params}
+        cond["c_control"] = hint
+        uncond["c_control"] = hint
 
     sampler = args.sampler or "ddim"
     img = ld.sample(
         uparams, rng, shape,
-        cond={"c_crossattn": [c]}, uncond={"c_crossattn": [uc]},
+        cond=cond, uncond=uncond,
         guidance_scale=gs, num_steps=steps, sampler=sampler,
         guidance_rescale=args.guidance_rescale,
         **({"eta": eta} if sampler == "ddim" else {}),
