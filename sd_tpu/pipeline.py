@@ -667,6 +667,55 @@ class Text2ImagePipeline:
         img = np.asarray(img.astype(jnp.float32))
         return np.clip((img + 1.0) * 127.5, 0, 255).astype(np.uint8)
 
+    def generate_hires(
+        self,
+        prompts: Sequence[str],
+        hires_scale: float = 2.0,
+        denoising_strength: float = 0.7,
+        num_steps: int = 50,
+        hires_steps: int | None = None,
+        negative_prompt: str | Sequence[str] = "",
+        guidance_scale: float = 7.5,
+        seed: int = 0,
+        height: int | None = None,
+        width: int | None = None,
+        clip_skip: int | None = None,
+        guidance_rescale: float = 0.0,
+        upscale: str = "bicubic",
+    ) -> np.ndarray:
+        """Two-stage "highres fix": txt2img at the base resolution, upscale
+        `hires_scale`×, then an img2img refinement pass at the target
+        resolution with `denoising_strength`. Generating directly above the
+        training resolution duplicates subjects (the SD failure mode this
+        works around); composing the two existing jitted programs keeps
+        global structure from the base pass and lets the refinement pass
+        add detail. upscale: "bicubic" | "nearest" | "lanczos" host-side
+        between the stages. The target size snaps to the model's total
+        downsampling factor."""
+        from PIL import Image
+
+        base = self.generate(
+            prompts, negative_prompt=negative_prompt, num_steps=num_steps,
+            guidance_scale=guidance_scale, seed=seed, height=height,
+            width=width, clip_skip=clip_skip,
+            guidance_rescale=guidance_rescale)
+        f = self._vae_factor() * 2 ** (
+            len(self.cfg["unet"]["params"].get("channel_mult",
+                                               (1, 2, 4, 4))) - 1)
+        h2 = max(f, round(base.shape[1] * hires_scale / f) * f)
+        w2 = max(f, round(base.shape[2] * hires_scale / f) * f)
+        resample = {"bicubic": Image.BICUBIC, "nearest": Image.NEAREST,
+                    "lanczos": Image.LANCZOS}[upscale]
+        up = np.stack([
+            np.asarray(Image.fromarray(im).resize((w2, h2), resample))
+            for im in base])
+        return self.img2img(
+            prompts, up, strength=denoising_strength,
+            negative_prompt=negative_prompt,
+            num_steps=hires_steps or num_steps,
+            guidance_scale=guidance_scale, seed=seed + 1,
+            clip_skip=clip_skip, guidance_rescale=guidance_rescale)
+
     def inpaint(self, prompts: Sequence[str], init_images, mask,
                 **kw) -> np.ndarray:
         """Mask-blend inpainting (white/1 mask pixels are KEPT, the rest is

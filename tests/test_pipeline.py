@@ -211,3 +211,29 @@ def test_pipeline_img2img_and_inpaint():
     plain = pipe.img2img(["a cat"], init, strength=0.6, num_steps=3,
                          guidance_scale=2.0, seed=3, clip_skip=2)
     assert not np.array_equal(w, plain)
+
+
+def test_generate_hires():
+    """Two-stage highres fix: base txt2img -> upscale -> img2img refine.
+    Output lands at the scaled size (snapped to the total factor) and the
+    refinement actually changes pixels vs plain upscaling."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from sd_tpu.core.config import load_yaml
+    from sd_tpu.pipeline import Text2ImagePipeline
+
+    pipe = Text2ImagePipeline(load_yaml("configs/sd_txt2img_smoke.yaml"),
+                              param_dtype=None)
+    pipe.unet_params = jax.tree.map(
+        lambda p: p + 0.05 * jnp.cos(1.3 * jnp.arange(p.size, dtype=jnp.float32)
+                                     ).reshape(p.shape).astype(p.dtype),
+        pipe.unet_params)
+    out = pipe.generate_hires(["a cat"], hires_scale=2.0,
+                              denoising_strength=0.6, num_steps=2,
+                              hires_steps=3, guidance_scale=2.0, seed=0)
+    assert out.shape == (1, 64, 64, 3) and out.dtype == np.uint8
+    base = pipe.generate(["a cat"], num_steps=2, guidance_scale=2.0, seed=0)
+    up = np.asarray(Image.fromarray(base[0]).resize((64, 64), Image.BICUBIC))
+    assert not np.array_equal(out[0], up)
