@@ -25,6 +25,16 @@ IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 def _load_image(path: str, size: int, method: str = "bicubic",
                 center_crop: bool = False) -> np.ndarray:
+    # Fast path: the native C++ decoder (sd_tpu/native) — GIL-free libjpeg/
+    # libpng decode + PIL-compatible resampling (parity <1/255, tested in
+    # tests/test_native_loader.py). Returns None for formats it doesn't
+    # carry (CMYK JPEG, bmp/webp, truncated files) → PIL below.
+    from sd_tpu.native import loader as _native
+
+    native = _native.decode_resize(path, size, method, center_crop)
+    if native is not None:
+        return native
+
     from PIL import Image
 
     img = Image.open(path).convert("RGB")
