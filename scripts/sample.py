@@ -24,10 +24,12 @@ def main():
     ap.add_argument("--prompt", default=[""], nargs="+",
                     help="text prompt(s) (ldm task; ignored for task: ddpm)")
     ap.add_argument("--sampler", default=None,
-                    choices=["ddpm", "ddim", "dpm"],
+                    choices=["ddpm", "ddim", "dpm", "unipc", "plms",
+                             "euler", "euler_a", "heun"],
                     help="ddpm task: ancestral (default) or ddim; ldm task: "
-                         "ddim (default) or dpm (DPM-Solver++(2M) — "
-                         "~15 steps for DDIM-50 quality)")
+                         "ddim (default), dpm (DPM-Solver++(2M) — ~15 steps "
+                         "for DDIM-50 quality), unipc (predictor-corrector, "
+                         "best at 5-10 steps), plms, or euler/euler_a/heun")
     ap.add_argument("--negative-prompt", default="")
     ap.add_argument("--ckpt", default=None, help="checkpoint dir (else random init)")
     ap.add_argument("--out", default="samples.png")

@@ -56,4 +56,8 @@ def __getattr__(name):
         from sd_tpu.diffusion.k_samplers import KDiffusionSampler
 
         return KDiffusionSampler
+    if name == "UniPCSampler":
+        from sd_tpu.diffusion.unipc import UniPCSampler
+
+        return UniPCSampler
     raise AttributeError(f"module 'sd_tpu' has no attribute {name!r}")

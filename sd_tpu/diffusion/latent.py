@@ -215,9 +215,11 @@ class LatentDiffusion:
         """Latent sampling + optional first-stage decode
         (reference: ldm/diffusion/ddpm.py:1742-1826 sample/sample_log +
         DDIM handoff). `sampler`: "ddim" (default) / "dpm"
-        (DPM-Solver++(2M), ~15 steps ≈ DDIM-50) / "plms" (4th-order pseudo
-        linear multistep, arXiv:2202.09778) / "euler" / "euler_a" / "heun"
-        (the k-diffusion family, arXiv:2206.00364) / "ddpm" (ancestral);
+        (DPM-Solver++(2M), ~15 steps ≈ DDIM-50) / "unipc" (predictor-
+        corrector, arXiv:2302.04867 — best quality per call at 5-10 steps) /
+        "plms" (4th-order pseudo linear multistep, arXiv:2202.09778) /
+        "euler" / "euler_a" / "heun" (the k-diffusion family,
+        arXiv:2206.00364) / "ddpm" (ancestral);
         overrides the legacy use_ddim flag when given."""
         model_fn = self.model_fn(params)
         if sampler is None:
@@ -237,6 +239,16 @@ class LatentDiffusion:
             from sd_tpu.diffusion.dpm_solver import DPMSolverSampler
 
             z = DPMSolverSampler(
+                self.schedule,
+                parameterization=self.process.parameterization,
+            ).sample(
+                model_fn, rng, shape, num_steps=num_steps, cond=cond,
+                uncond=uncond, guidance_scale=guidance_scale, **kw,
+            )
+        elif sampler == "unipc":
+            from sd_tpu.diffusion.unipc import UniPCSampler
+
+            z = UniPCSampler(
                 self.schedule,
                 parameterization=self.process.parameterization,
             ).sample(

@@ -479,8 +479,10 @@ class Text2ImagePipeline:
         control_image=None,
     ) -> np.ndarray:
         """prompts → uint8 images [B, H, W, 3]. sampler: "ddim", "dpm"
-        (DPM-Solver++(2M): ~15 steps ≈ DDIM-50 quality), "plms"
-        (4th-order pseudo linear multistep), or the k-diffusion family
+        (DPM-Solver++(2M): ~15 steps ≈ DDIM-50 quality), "unipc"
+        (predictor-corrector, arXiv:2302.04867 — reuses each model call to
+        correct the previous step; best quality per call at 5-10 steps),
+        "plms" (4th-order pseudo linear multistep), or the k-diffusion family
         "euler" / "euler_a" (stochastic) / "heun" (2nd order, 2 model
         calls/step). guidance_rescale: std-rescale
         of the CFG output (arXiv:2305.08891; ~0.7 fixes over-exposure at

@@ -34,6 +34,12 @@ def test_pipeline_generate_deterministic():
     assert imgs5.shape == (2, 32, 32, 3) and imgs5.dtype == np.uint8
     assert not np.array_equal(imgs, imgs5)
 
+    # UniPC predictor-corrector path
+    imgs6 = pipe.generate(["a cat", "a dog"], num_steps=3, guidance_scale=2.0,
+                          seed=7, sampler="unipc")
+    assert imgs6.shape == (2, 32, 32, 3) and imgs6.dtype == np.uint8
+    assert not np.array_equal(imgs, imgs6)
+
     # per-prompt negative prompts reuse the same compiled program. At random
     # init the UNet's zero-init residual convs (proj_out/out_conv, the SD
     # convention) make the model output exactly 0 regardless of conditioning,
