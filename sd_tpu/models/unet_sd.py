@@ -115,6 +115,8 @@ class UNetModel(nn.Module):
     use_scale_shift_norm: bool = False
     resblock_updown: bool = False
     n_embed: int | None = None  # optional codebook-id prediction head
+    tome_ratio: float = 0.0     # ToMe serving accel (nn/tome.py); 0 = off
+    tome_min_tokens: int = 1024
     dtype: jnp.dtype | None = None
 
     def _attn(self, h, context, ds, name, deterministic):
@@ -126,7 +128,9 @@ class UNetModel(nn.Module):
         if self.use_spatial_transformer:
             return SpatialTransformer(
                 heads=heads, dim_head=dim_head, depth=self.transformer_depth,
-                dropout=self.dropout, dtype=self.dtype, name=name,
+                dropout=self.dropout, tome_ratio=self.tome_ratio,
+                tome_min_tokens=self.tome_min_tokens,
+                dtype=self.dtype, name=name,
             )(h, context, deterministic=deterministic)
         return SelfAttentionBlock2D(
             num_heads=heads, num_head_channels=self.num_head_channels,

@@ -288,11 +288,24 @@ class BasicTransformerBlock(nn.Module):
         x: jax.Array,
         context: jax.Array | None = None,
         *,
+        tome=None,  # (merge, unmerge) closures from nn/tome.py, or None
         deterministic: bool = True,
     ) -> jax.Array:
-        x = x + CrossAttention(
-            self.heads, self.dim_head, self.dropout, dtype=self.dtype, name="attn1"
-        )(LayerNorm32(name="norm1")(x), deterministic=deterministic)
+        if tome is not None:
+            # ToMe (arXiv:2303.17604): self-attention runs on the merged
+            # token set; merged tokens inherit their dst's output. Cross-
+            # attn and FF stay full-resolution (the SD recipe).
+            merge, unmerge = tome
+            x = x + unmerge(CrossAttention(
+                self.heads, self.dim_head, self.dropout, dtype=self.dtype,
+                name="attn1",
+            )(merge(LayerNorm32(name="norm1")(x)),
+              deterministic=deterministic))
+        else:
+            x = x + CrossAttention(
+                self.heads, self.dim_head, self.dropout, dtype=self.dtype,
+                name="attn1",
+            )(LayerNorm32(name="norm1")(x), deterministic=deterministic)
         x = x + CrossAttention(
             self.heads, self.dim_head, self.dropout, dtype=self.dtype, name="attn2"
         )(LayerNorm32(name="norm2")(x), context, deterministic=deterministic)
@@ -310,6 +323,8 @@ class SpatialTransformer(nn.Module):
     dim_head: int
     depth: int = 1
     dropout: float = 0.0
+    tome_ratio: float = 0.0   # >0: ToMe self-attn token merging (serving)
+    tome_min_tokens: int = 1024
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -325,11 +340,20 @@ class SpatialTransformer(nn.Module):
         h = GroupNorm32(32, epsilon=1e-6, name="norm")(x)
         h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h)
         h = h.reshape(B, H * W, inner)
+        use_tome = (self.tome_ratio > 0.0 and H * W >= self.tome_min_tokens
+                    and H >= 2 and W >= 2)
         for i in range(self.depth):
+            tome = None
+            if use_tome:
+                from sd_tpu.nn.tome import build_tome
+
+                built = build_tome(h, H, W, self.tome_ratio)
+                if built is not None:
+                    tome = (built[0], built[1])
             h = BasicTransformerBlock(
                 self.heads, self.dim_head, self.dropout,
                 dtype=self.dtype, name=f"block_{i}",
-            )(h, context, deterministic=deterministic)
+            )(h, context, tome=tome, deterministic=deterministic)
         h = h.reshape(B, H, W, inner)
         h = nn.Conv(
             C, (1, 1),
