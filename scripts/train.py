@@ -35,6 +35,15 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    # Multi-host bring-up (no-op single-process; autodetects TPU-pod env or
+    # the JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID triple).
+    from sd_tpu.parallel import multihost
+
+    if multihost.initialize():
+        print(f"[multihost] process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
+
     from sd_tpu.core.config import load_yaml
     from sd_tpu.train import runners
 

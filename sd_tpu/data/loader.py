@@ -45,7 +45,8 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 4,
                  prefetch: int = 2, seed: int = 0,
-                 collate_fn: Callable = collate):
+                 collate_fn: Callable = collate,
+                 rank: int = 0, world: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -54,11 +55,21 @@ class DataLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.collate_fn = collate_fn
+        # multi-host data sharding (parallel/multihost.py): every process
+        # builds the SAME shuffled batch list (seed+epoch-keyed, rank-free)
+        # and takes batches round-robin — shards are disjoint, cover each
+        # epoch, and stay aligned without any cross-host coordination.
+        if not 0 <= rank < world:
+            raise ValueError(f"rank {rank} outside world {world}")
+        self.rank = rank
+        self.world = world
         self._epoch = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        total = (n // self.batch_size if self.drop_last
+                 else -(-n // self.batch_size))
+        return len(range(self.rank, total, self.world))
 
     def _batch_indices(self) -> list[np.ndarray]:
         n = len(self.dataset)
@@ -71,7 +82,7 @@ class DataLoader:
             if len(b) < self.batch_size and self.drop_last:
                 break
             batches.append(b)
-        return batches
+        return batches[self.rank::self.world]
 
     def __iter__(self) -> Iterator[dict]:
         self._epoch += 1

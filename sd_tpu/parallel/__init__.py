@@ -9,3 +9,4 @@ from sd_tpu.parallel.mesh import (
     fsdp_state_sharding,
     gan_state_sharding,
 )
+from sd_tpu.parallel import multihost

@@ -104,7 +104,12 @@ def _build_loader(data_dir: str, cfg: dict, batch_size: int):
             template=dcfg.get("template", "a photo of a {}"))
     else:
         ds = ImageFolderDataset(data_dir, image_size=size)
-    return DataLoader(ds, batch_size=batch_size)
+    # Multi-host: each process loads its own disjoint slice of every epoch
+    # (parallel/multihost.py); single-process this is rank 0 of 1.
+    import jax as _jax
+
+    return DataLoader(ds, batch_size=batch_size,
+                      rank=_jax.process_index(), world=_jax.process_count())
 
 
 def train_ddpm(config: dict | str, data_dir: str, out_dir: str = "runs/ddpm",
