@@ -36,6 +36,37 @@ from sd_tpu.nn.resnet import ResBlockSD
 from sd_tpu.nn.updown import Downsample, Upsample
 
 
+def _fourier_filter(x: jax.Array, threshold: int, scale: float) -> jax.Array:
+    """Scale the low-frequency (DC-centered) band of the spatial spectrum
+    (FreeU, arXiv:2309.11497 eq. 6; XLA lowers jnp.fft natively)."""
+    B, H, W, C = x.shape
+    f = jnp.fft.fftshift(jnp.fft.fftn(x.astype(jnp.complex64), axes=(1, 2)),
+                         axes=(1, 2))
+    ch, cw = H // 2, W // 2
+    mask = jnp.ones((1, H, W, 1), jnp.float32)
+    mask = mask.at[:, max(ch - threshold, 0): ch + threshold,
+                   max(cw - threshold, 0): cw + threshold].set(scale)
+    f = jnp.fft.ifftn(jnp.fft.ifftshift(f * mask, axes=(1, 2)), axes=(1, 2))
+    return f.real.astype(x.dtype)
+
+
+def _apply_freeu(h: jax.Array, skip: jax.Array, mc: int,
+                 freeu: tuple[float, float, float, float]):
+    """FreeU at the two deepest decoder widths: amplify the backbone's
+    first-half channels, low-pass-attenuate the skip (the paper's recipe —
+    backbone features carry denoising semantics, skips re-inject
+    high-frequency noise)."""
+    b1, b2, s1, s2 = freeu
+    C = h.shape[-1]
+    if C == mc * 4:
+        h = h.at[..., : C // 2].multiply(b1)
+        skip = _fourier_filter(skip, 1, s1)
+    elif C == mc * 2:
+        h = h.at[..., : C // 2].multiply(b2)
+        skip = _fourier_filter(skip, 1, s2)
+    return h, skip
+
+
 class SelfAttentionBlock2D(nn.Module):
     """Pure self-attention block used when use_spatial_transformer=False:
     GN → qkv 1×1 → multi-head attention → zero-init 1×1 proj → residual
@@ -117,6 +148,11 @@ class UNetModel(nn.Module):
     n_embed: int | None = None  # optional codebook-id prediction head
     tome_ratio: float = 0.0     # ToMe serving accel (nn/tome.py); 0 = off
     tome_min_tokens: int = 1024
+    # FreeU (arXiv:2309.11497, parameter-free sampling-quality knob):
+    # (b1, b2, s1, s2) — amplify the backbone's first-half channels (b) and
+    # low-pass-attenuate the skip features (s) at the two deepest decoder
+    # widths (4·mc and 2·mc). SD-v1 paper setting: (1.2, 1.4, 0.9, 0.2).
+    freeu: tuple[float, float, float, float] | None = None
     dtype: jnp.dtype | None = None
 
     def _attn(self, h, context, ds, name, deterministic):
@@ -212,6 +248,8 @@ class UNetModel(nn.Module):
                 skip = hs.pop()
                 if ctrl is not None:
                     skip = skip + ctrl.pop()
+                if self.freeu is not None:
+                    h, skip = _apply_freeu(h, skip, mc, self.freeu)
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = res(h, mult * mc, f"out_{level}_{i}_res")
                 if ds in self.attention_resolutions:
