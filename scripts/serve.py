@@ -39,6 +39,10 @@ def main() -> None:
                     help="default sampler when a request omits one")
     ap.add_argument("--shard", action="store_true",
                     help="shard_for_serving over all visible devices")
+    ap.add_argument("--tome", type=float, default=0.0,
+                    help="ToMe token-merge ratio (0 = off; ~0.5 typical)")
+    ap.add_argument("--freeu", default=None,
+                    help='FreeU "b1,b2,s1,s2" (e.g. "1.2,1.4,0.9,0.2")')
     args = ap.parse_args()
 
     from sd_tpu.pipeline import Text2ImagePipeline
@@ -53,6 +57,13 @@ def main() -> None:
         pipe = Text2ImagePipeline.from_config(args.config)
     if args.lora:
         pipe.load_lora(args.lora)
+    opts = {}
+    if args.tome > 0:
+        opts["tome_ratio"] = args.tome
+    if args.freeu:
+        opts["freeu"] = tuple(float(v) for v in args.freeu.split(","))
+    if opts:
+        pipe.set_unet_options(**opts)
     if args.shard:
         pipe.shard_for_serving()
 

@@ -47,6 +47,26 @@ class Text2ImagePipeline:
         self.cn_params = None
         self.control_scale = 1.0
 
+    def set_unet_options(self, **updates) -> None:
+        """Swap parameter-free static UNet options at serving time —
+        `tome_ratio`/`tome_min_tokens` (nn/tome.py) and `freeu`
+        (arXiv:2309.11497). Params are untouched (both features are
+        parameter-free); the per-(batch, steps, ...) program cache resets
+        so the next generate() compiles the new graph.
+
+            pipe.set_unet_options(tome_ratio=0.5, freeu=(1.2, 1.4, 0.9, 0.2))
+        """
+        import dataclasses as _dc
+
+        self.unet = self.unet.clone(**updates)
+        unet = self.unet
+        self.ld = _dc.replace(
+            self.ld,
+            unet_apply=lambda p, x, t, ctx, y=None: unet.apply(
+                {"params": p}, x, t, ctx, y),
+        )
+        self._jitted = {}
+
     # -- constructors --------------------------------------------------------
 
     @classmethod

@@ -106,6 +106,29 @@ def test_unet_freeu_identity_setting_is_exact(unet_setup):
                                atol=2e-5)
 
 
+def test_pipeline_set_unet_options():
+    """Serving-time toggle: same params, new graph, program cache reset."""
+    from sd_tpu.pipeline import Text2ImagePipeline
+
+    pipe = Text2ImagePipeline.from_config("configs/sd_txt2img_smoke.yaml",
+                                          param_dtype=None)
+    # perturb so the decoder path contributes (zero-init out conv)
+    pipe.unet_params = jax.tree.map(
+        lambda p: p + 0.05 * jnp.cos(1.3 * jnp.arange(p.size, dtype=jnp.float32)
+                                     ).reshape(p.shape).astype(p.dtype),
+        pipe.unet_params)
+    base = pipe.generate(["a cat"], num_steps=2, guidance_scale=2.0, seed=3)
+    pipe.set_unet_options(freeu=(1.4, 1.6, 0.5, 0.2))
+    assert pipe.unet.freeu == (1.4, 1.6, 0.5, 0.2)
+    fu = pipe.generate(["a cat"], num_steps=2, guidance_scale=2.0, seed=3)
+    assert fu.shape == base.shape
+    assert not np.array_equal(fu, base)
+    # and back to exact baseline when cleared
+    pipe.set_unet_options(freeu=None)
+    again = pipe.generate(["a cat"], num_steps=2, guidance_scale=2.0, seed=3)
+    np.testing.assert_array_equal(again, base)
+
+
 def test_unet_freeu_jits(unet_setup):
     params, x, t, ctx = unet_setup
     fu = UNetModel(**KW, freeu=(1.2, 1.4, 0.9, 0.2))
