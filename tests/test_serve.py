@@ -201,6 +201,43 @@ def test_model_failure_returns_500_and_server_survives():
         batcher.stop()
 
 
+def test_end_to_end_with_real_pipeline():
+    """Full stack: HTTP → batcher → real (smoke-config) Text2ImagePipeline
+    → base64 PNG back. Two concurrent same-param requests share one
+    compiled TPU/CPU invocation."""
+    from sd_tpu.pipeline import Text2ImagePipeline
+
+    pipe = Text2ImagePipeline.from_config("configs/sd_txt2img_smoke.yaml",
+                                          param_dtype=None)
+    batcher = BatchingServer(pipe, max_batch=2, batch_window_ms=2000,
+                             default_steps=2, default_guidance=2.0)
+    batcher.start()
+    server = make_http_server(batcher, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        results = {}
+
+        def go(p):
+            results[p] = _post(url, {"prompt": p, "steps": 2}, timeout=600)
+
+        threads = [threading.Thread(target=go, args=(p,))
+                   for p in ("a cat", "a dog")]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert batcher.batches_run == 1  # one compiled call served both
+        for p in ("a cat", "a dog"):
+            img = _decode_png(results[p]["image"])
+            assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+            assert results[p]["batch_size"] == 2
+    finally:
+        server.shutdown()
+        server.server_close()
+        batcher.stop()
+
+
 def test_max_batch_respected():
     stub = StubPipeline()
     batcher = BatchingServer(stub, max_batch=2, batch_window_ms=300)
