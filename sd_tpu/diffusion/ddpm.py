@@ -27,6 +27,23 @@ from sd_tpu.nn.layers import mean_flat
 ModelFn = Callable[[jax.Array, jax.Array, Any], jax.Array]
 
 
+def draw_training_noise(rng: jax.Array, shape: tuple[int, ...],
+                        offset: float = 0.0) -> jax.Array:
+    """Training noise ε, optionally with a per-(sample, channel) DC offset
+    (beyond-reference: the "noise offset" fine-tuning trick, crosslabs 2023
+    / SDXL recipe §2.5-adjacent). offset=0 is plain iid N(0,1): with iid
+    noise every ε has near-zero spatial mean, so q_sample never moves an
+    image's overall brightness and the model can't learn to either;
+    offset·ε_c (ε_c per sample+channel) restores that degree of freedom.
+    Typical offset: 0.05-0.15."""
+    r1, r2 = jax.random.split(rng)
+    noise = jax.random.normal(r1, shape, jnp.float32)
+    if offset > 0.0:
+        dc_shape = (shape[0],) + (1,) * (len(shape) - 2) + (shape[-1],)
+        noise = noise + offset * jax.random.normal(r2, dc_shape, jnp.float32)
+    return noise
+
+
 @dataclasses.dataclass(frozen=True)
 class DDPMProcess:
     """Bundles a schedule with a parameterization and loss configuration."""

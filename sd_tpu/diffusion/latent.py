@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from sd_tpu.core.schedules import DiffusionSchedule
 from sd_tpu.diffusion.ddim import DDIMSampler
-from sd_tpu.diffusion.ddpm import DDPMProcess
+from sd_tpu.diffusion.ddpm import DDPMProcess, draw_training_noise
 from sd_tpu.nn.layers import mean_flat
 
 PyTree = Any
@@ -102,6 +102,11 @@ class LatentDiffusion:
     scale_factor: float = 0.18215
     cond_stage_trainable: bool = False
     learn_logvar: bool = False
+    # Noise offset (beyond-reference fine-tuning knob, crosslabs 2023 /
+    # the SDXL training recipe): adds `offset · ε_c` with ε_c drawn once
+    # per (sample, channel) to the training noise, teaching the model to
+    # move overall image brightness — plain iid noise never asks it to.
+    noise_offset: float = 0.0
 
     @property
     def schedule(self) -> DiffusionSchedule:
@@ -192,7 +197,7 @@ class LatentDiffusion:
         z, cond = self.get_input(batch, rng_enc)
         b = z.shape[0]
         t = jax.random.randint(rng_t, (b,), 0, self.schedule.num_timesteps)
-        noise = jax.random.normal(rng_noise, z.shape, jnp.float32)
+        noise = draw_training_noise(rng_noise, z.shape, self.noise_offset)
         return self.p_losses(params, z, cond, t, noise, learned_logvar)
 
     # -- sampling ------------------------------------------------------------

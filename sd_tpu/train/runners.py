@@ -149,7 +149,10 @@ def train_ddpm(config: dict | str, data_dir: str, out_dir: str = "runs/ddpm",
         x = batch["image"]
         rng_t, rng_n = jax.random.split(rng)
         t = jax.random.randint(rng_t, (x.shape[0],), 0, sched.num_timesteps)
-        noise = jax.random.normal(rng_n, x.shape)
+        from sd_tpu.diffusion.ddpm import draw_training_noise
+
+        noise = draw_training_noise(rng_n, x.shape,
+                                    tc.get("noise_offset", 0.0))
         return process.p_losses(model_fn, x, t, noise, learned_logvar=logvar)
 
     step_fn, state = _maybe_parallel_step(
@@ -411,6 +414,9 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
 
     ld, unet, uparams, vae, vparams, clip = build_ldm(cfg, rng)
     print(f"[ldm] unet params: {count_params(uparams)/1e6:.1f}M")
+
+    if tc.get("noise_offset"):
+        ld = _dc.replace(ld, noise_offset=float(tc["noise_offset"]))
 
     if cfg["latent"].get("scale_factor") == "auto":
         # std-rescaling: set scale_factor to 1/std of the first encoded

@@ -120,6 +120,36 @@ def test_training_loss_runs(rng):
     assert "loss_gamma" in logs2
 
 
+def test_training_noise_offset(rng):
+    """noise_offset changes the drawn noise (same rng) and the loss; the
+    offset component is constant per (sample, channel)."""
+    import dataclasses as _dc
+
+    from sd_tpu.diffusion.ddpm import draw_training_noise
+
+    n0 = draw_training_noise(rng, (4, 8, 8, 3), 0.0)
+    n1 = draw_training_noise(rng, (4, 8, 8, 3), 0.5)
+    # the offset term is spatially constant: subtracting the base noise
+    # leaves a per-(sample,channel) DC value
+    delta = np.asarray(n1 - n0)
+    assert not np.allclose(delta, 0.0)
+    np.testing.assert_allclose(
+        delta, np.broadcast_to(delta[:, :1, :1, :], delta.shape),
+        rtol=1e-5, atol=1e-6)
+    # channel-mean variance grows with the offset (the knob's entire point)
+    assert float(np.var(np.asarray(n1).mean(axis=(1, 2)))) > \
+        float(np.var(np.asarray(n0).mean(axis=(1, 2))))
+
+    ld = make_ld()
+    batch = {"image": jnp.ones((2, 8, 8, 3)),
+             "txt_emb": jnp.zeros((2, 7, 16))}
+    loss0, _ = ld.training_loss(PARAMS, batch, rng)
+    loss1, _ = _dc.replace(ld, noise_offset=0.5).training_loss(
+        PARAMS, batch, rng)
+    assert np.isfinite(float(loss1))
+    assert float(loss0) != float(loss1)
+
+
 def test_training_loss_grad_wrt_params(rng):
     ld = make_ld()
     batch = {"image": jnp.ones((2, 8, 8, 3)),
