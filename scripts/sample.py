@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--prompt", default=[""], nargs="+",
                     help="text prompt(s) (ldm task; ignored for task: ddpm)")
     ap.add_argument("--sampler", default=None,
-                    choices=["ddpm", "ddim", "dpm", "unipc", "plms",
+                    choices=["ddpm", "ddim", "dpm", "dpm_sde", "unipc", "plms",
                              "euler", "euler_a", "heun"],
                     help="ddpm task: ancestral (default) or ddim; ldm task: "
                          "ddim (default), dpm (DPM-Solver++(2M) — ~15 steps "

@@ -101,15 +101,23 @@ class DPMSolverSchedule:
 class DPMSolverSampler:
     """Stateless DPM-Solver++(2M) sampler over a base DDPM schedule.
 
-    Same surface as DDIMSampler (diffusion/ddim.py) minus the stochastic
-    knobs — this is the deterministic ODE solver; use DDIM(η>0)/DDPM for
-    stochastic sampling.
+    Same surface as DDIMSampler (diffusion/ddim.py). With `sde=False`
+    (default) this is the deterministic ODE solver; `sde=True` integrates
+    the reverse-time SDE instead with the same exponential integrator and
+    second-order data-prediction multistep — "DPM++ 2M SDE", the stochastic
+    production sampler (arXiv:2211.01095 SDE variant; the coefficients are
+    the sde-dpmsolver++ form: e^{-h} decay on x, (1-e^{-2h}) on the data
+    estimate, σ_t·sqrt(1-e^{-2h}) fresh noise per step). Stochastic
+    sampling re-injects noise each step, which erases accumulated solver
+    error at low step counts and trades reproducibility-of-trajectory for
+    sample diversity at fixed x_T.
     """
 
     schedule: DiffusionSchedule
     parameterization: str = "eps"
     clip_denoised: bool = False
     quantize_fn: Callable[[jax.Array], jax.Array] | None = None
+    sde: bool = False
 
     def make_schedule(self, num_steps: int,
                       method: str = "uniform") -> DPMSolverSchedule:
@@ -157,7 +165,8 @@ class DPMSolverSampler:
         if dp is None:
             dp = self.make_schedule(num_steps, method=method)
         b = shape[0]
-        img = x_T if x_T is not None else jax.random.normal(rng, shape)
+        rng_init, rng_steps = jax.random.split(rng)
+        img = x_T if x_T is not None else jax.random.normal(rng_init, shape)
 
         cond_batched = None
         if uncond is not None and guidance_scale != 1.0:
@@ -189,7 +198,22 @@ class DPMSolverSampler:
             sr = extract(dp.sigma_ratio, index[None], nd)
             an = extract(dp.alpha_next, index[None], nd)
             em1 = extract(dp.em1, index[None], nd)
-            img_next = sr * x32 - an * em1 * d
+            if self.sde:
+                # exponential SDE integrator (exact for constant x0):
+                #   x_t = (σ_t/σ_s)e^{-h}·x + α_t(1-e^{-2h})·D
+                #       + σ_t·sqrt(1-e^{-2h})·ε
+                # derived from the stored expm1(-h) table so the small-h
+                # regime keeps its fp64-host precision:
+                #   e^{-h} = 1+em1,  1-e^{-2h} = -em1·(2+em1)
+                exp_mh = 1.0 + em1
+                om_e2h = -em1 * (2.0 + em1)
+                sig_next = sr * extract(dp.sigma_cur, index[None], nd)
+                noise = jax.random.normal(
+                    jax.random.fold_in(rng_steps, index), x32.shape)
+                img_next = (sr * exp_mh * x32 + an * om_e2h * d
+                            + sig_next * jnp.sqrt(om_e2h) * noise)
+            else:
+                img_next = sr * x32 - an * em1 * d
             return (img_next.astype(img.dtype), x0), None
 
         init = (img, jnp.zeros(shape, jnp.float32))

@@ -43,8 +43,8 @@ from typing import Any
 
 import numpy as np
 
-ALLOWED_SAMPLERS = ("ddim", "dpm", "unipc", "plms", "euler", "euler_a",
-                    "heun", "ddpm")
+ALLOWED_SAMPLERS = ("ddim", "dpm", "dpm_sde", "unipc", "plms", "euler",
+                    "euler_a", "heun", "ddpm")
 
 
 def _png_b64(img: np.ndarray) -> str:

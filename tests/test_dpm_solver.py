@@ -179,3 +179,85 @@ def test_jit_and_scan_compatible():
 
     out = run(jax.random.PRNGKey(6))
     assert out.shape == SHAPE and np.isfinite(np.asarray(out)).all()
+
+
+# -- DPM++ 2M SDE (the stochastic variant) ------------------------------------
+
+def dirac_eps_model(sched, x0_star):
+    """ε*(x,t) = (x − sqrt(ᾱ_t)·x0*)/sqrt(1−ᾱ_t): the exact ε-predictor for
+    a Dirac data distribution at x0*. The implied x̂0 is CONSTANT (= x0*),
+    which makes the exponential SDE integrator exact at ANY step count."""
+    sa = jnp.sqrt(sched.alphas_cumprod)
+    s1m = jnp.sqrt(1.0 - sched.alphas_cumprod)
+
+    def fn(x, t, c):
+        sh = (-1,) + (1,) * (x.ndim - 1)
+        return (x - sa[t].reshape(sh) * x0_star) / s1m[t].reshape(sh)
+
+    return fn
+
+
+def test_sde_dirac_exactness():
+    """With a constant-x̂0 model the SDE integrator is exact: the output is
+    N(α₀·x0*, σ₀²) regardless of step count — mean pinned at x0*, spread at
+    the terminal σ₀ (≈0.029 for this linear schedule)."""
+    sched = make_sched()
+    x0_star = 0.7
+    model = dirac_eps_model(sched, x0_star)
+    sig0 = float(np.sqrt(1.0 - np.asarray(sched.alphas_cumprod)[0]))
+    sde = DPMSolverSampler(sched, sde=True)
+    for steps in (5, 40):
+        out = np.asarray(sde.sample(model, jax.random.PRNGKey(steps),
+                                    (64, 8, 8, 1), num_steps=steps))
+        err = out - x0_star
+        assert abs(err.mean()) < 4 * sig0 / np.sqrt(err.size) + 1e-3
+        assert abs(err.std() - sig0) < 0.25 * sig0, (steps, err.std(), sig0)
+
+
+def test_sde_preserves_gaussian_marginals():
+    """For N(0,I) data with the exact MMSE ε-model, every reverse marginal
+    is N(0,I); at a reasonable step count the SDE sampler's terminal std
+    must be ≈1 (this checks the noise-injection scaling σ_t·sqrt(1−e^{−2h})
+    against the contraction — a mis-scaled noise term fails immediately)."""
+    sched = make_sched()
+    model = linear_eps_model(sched)
+    sde = DPMSolverSampler(sched, sde=True)
+    out = np.asarray(sde.sample(model, jax.random.PRNGKey(0), (256, 8, 8, 1),
+                                num_steps=50))
+    assert abs(out.std() - 1.0) < 0.05, out.std()
+    assert abs(out.mean()) < 0.05
+
+
+def test_sde_stochastic_vs_ode_deterministic():
+    """Same x_T, different seeds: the ODE output is identical, the SDE
+    output differs (fresh per-step noise); SDE output is still finite and
+    seed-reproducible."""
+    sched = make_sched()
+    model = linear_eps_model(sched)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), SHAPE)
+    sde = DPMSolverSampler(sched, sde=True)
+    a = sde.sample(model, jax.random.PRNGKey(2), SHAPE, num_steps=12, x_T=x_T)
+    a2 = sde.sample(model, jax.random.PRNGKey(2), SHAPE, num_steps=12, x_T=x_T)
+    b = sde.sample(model, jax.random.PRNGKey(3), SHAPE, num_steps=12, x_T=x_T)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
+    assert float(jnp.abs(a - b).max()) > 1e-3
+    ode = DPMSolverSampler(sched)
+    c = ode.sample(model, jax.random.PRNGKey(2), SHAPE, num_steps=12, x_T=x_T)
+    d = ode.sample(model, jax.random.PRNGKey(3), SHAPE, num_steps=12, x_T=x_T)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+
+
+def test_sde_through_latent_sample():
+    """sampler="dpm_sde" is reachable from LatentDiffusion.sample."""
+    from sd_tpu.diffusion.latent import LatentDiffusion
+    from sd_tpu.diffusion.ddpm import DDPMProcess
+
+    sched = make_sched(100)
+    ld = LatentDiffusion(
+        process=DDPMProcess(sched, clip_denoised=False),
+        unet_apply=lambda p, x, t, ctx, y=None: x * 0.1,
+        encode_fn=None, decode_fn=None, cond_fn=None,
+        conditioning_key=None, scale_factor=1.0)
+    out = ld.sample({}, jax.random.PRNGKey(0), SHAPE, num_steps=8,
+                    sampler="dpm_sde", decode=False)
+    assert out.shape == SHAPE and np.isfinite(np.asarray(out)).all()
