@@ -220,7 +220,8 @@ class LatentDiffusion:
         """Latent sampling + optional first-stage decode
         (reference: ldm/diffusion/ddpm.py:1742-1826 sample/sample_log +
         DDIM handoff). `sampler`: "ddim" (default) / "dpm"
-        (DPM-Solver++(2M), ~15 steps ≈ DDIM-50) / "unipc" (predictor-
+        (DPM-Solver++(2M), ~15 steps ≈ DDIM-50) / "dpm_sde" (DPM++ 2M
+        SDE — stochastic exponential integrator) / "unipc" (predictor-
         corrector, arXiv:2302.04867 — best quality per call at 5-10 steps) /
         "plms" (4th-order pseudo linear multistep, arXiv:2202.09778) /
         "euler" / "euler_a" / "heun" (the k-diffusion family,
@@ -240,12 +241,13 @@ class LatentDiffusion:
                 model_fn, rng, shape, num_steps=num_steps, cond=cond,
                 uncond=uncond, guidance_scale=guidance_scale, **kw,
             )
-        elif sampler == "dpm":
+        elif sampler in ("dpm", "dpm_sde"):
             from sd_tpu.diffusion.dpm_solver import DPMSolverSampler
 
             z = DPMSolverSampler(
                 self.schedule,
                 parameterization=self.process.parameterization,
+                sde=(sampler == "dpm_sde"),
             ).sample(
                 model_fn, rng, shape, num_steps=num_steps, cond=cond,
                 uncond=uncond, guidance_scale=guidance_scale, **kw,
@@ -454,13 +456,16 @@ def patched_apply(
     x: jax.Array,
     ks: int,
     stride: int,
-    scale: int = 1,
+    scale: int | None = None,
 ) -> jax.Array:
     """Apply `fn` to overlapping ks×ks patches and overlap-add the results.
 
-    `scale` is the spatial scaling of fn (e.g. vq-f4 decode → scale=4,
-    encode → use scale=1 with downscaled output handled by caller). Replaces
-    the reference's per-patch Python loop with one vmap — all patches run as
+    `scale` is the spatial scaling of fn when given (e.g. vq-f4 decode →
+    scale=4) and is checked against fn's actual output; with `scale=None`
+    any exact rational rescale is accepted — including DOWNSCALING fns
+    (tiled VAE *encode*: oks = ks/f), as long as the output grid divides
+    out evenly (H·oks % ks == 0, stride·oks % ks == 0). Replaces the
+    reference's per-patch Python loop with one vmap — all patches run as
     one batched XLA computation.
     """
     B, H, W, C = x.shape
@@ -469,9 +474,16 @@ def patched_apply(
     flat = patches.reshape(B * nh * nw, ks, ks, C)
     out = fn(flat)
     oks = out.shape[1]
-    assert oks == ks * scale, f"fn changed patch size {ks}->{oks}, scale={scale}"
+    if scale is not None:
+        assert oks == ks * scale, \
+            f"fn changed patch size {ks}->{oks}, scale={scale}"
+    if (H * oks) % ks or (W * oks) % ks or (stride * oks) % ks:
+        raise ValueError(
+            f"patched_apply: output patch {oks} does not evenly rescale "
+            f"H={H}, W={W}, stride={stride} from ks={ks}")
+    h_out, w_out = H * oks // ks, W * oks // ks
     out = out.reshape(B, nh, nw, oks, oks, out.shape[-1])
     weights = _tie_breaker_weights(oks)
     return fold_patches(
-        out, (H * scale, W * scale), stride * scale, weights
+        out, (h_out, w_out), stride * oks // ks, weights
     ).astype(out.dtype)

@@ -264,3 +264,41 @@ def test_patched_apply_bbox():
                  iw * stride:iw * stride + ks] += np.asarray(o)
     # stride == ks: non-overlapping, weights cancel in the fold
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-5)
+
+
+def test_patched_apply_downscale():
+    """patched_apply supports DOWNSCALING fns (tiled VAE encode): a 2×2
+    average-pool per patch must reproduce the whole-image average-pool
+    exactly (linear fn ⇒ overlap-add weighting cancels)."""
+    import jax.numpy as jnp
+
+    from sd_tpu.diffusion.latent import patched_apply
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32))
+
+    def pool2(p):
+        B, H, W, C = p.shape
+        return p.reshape(B, H // 2, 2, W // 2, 2, C).mean(axis=(2, 4))
+
+    out = patched_apply(pool2, x, ks=8, stride=4)
+    ref = pool2(x)
+    assert out.shape == (2, 8, 8, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_patched_apply_downscale_rejects_uneven():
+    import jax.numpy as jnp
+    import pytest
+
+    from sd_tpu.diffusion.latent import patched_apply
+
+    x = jnp.zeros((1, 12, 12, 1))
+
+    def pool3(p):  # oks=ks/3: stride 4 * 1/3 is not integral
+        B, H, W, C = p.shape
+        return p.reshape(B, H // 3, 3, W // 3, 3, C).mean(axis=(2, 4))
+
+    with pytest.raises(ValueError, match="evenly"):
+        patched_apply(pool3, x, ks=6, stride=4)
