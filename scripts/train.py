@@ -61,6 +61,8 @@ def main():
     }.get(task)
     if run is None and task == "ldm_sr":
         from sd_tpu.train.sr import train_ldm_sr as run
+    if run is None and task == "ldm_inpaint":
+        from sd_tpu.train.inpaint import train_ldm_inpaint as run
     if run is None and task == "textual_inversion":
         from sd_tpu.train.textual_inversion import train_textual_inversion as run
     if run is None and task == "dreambooth":

@@ -46,6 +46,40 @@ class Text2ImagePipeline:
         self.controlnet = None        # set by load_controlnet()
         self.cn_params = None
         self.control_scale = 1.0
+        self._rebind_first_stage()
+
+    def _ld_with_first_stage(self, vae_params=None):
+        """LatentDiffusion view whose encode/decode closures use the
+        pipeline's CURRENT first-stage params. build_ldm's closures capture
+        the build-time init tree, but the pipeline swaps `self.vae_params`
+        afterwards (bf16 cast, `from_sd_checkpoint` import,
+        `shard_for_serving` placement). Jitted programs pass their traced
+        `vae_params` argument so the weights stay program INPUTS (not
+        baked-in constant copies); with `vae_params=None` the closures read
+        `self.vae_params` late, at trace time — the right default for
+        direct `pipe.ld` use."""
+        import dataclasses as _dc
+
+        from sd_tpu.models.autoencoder import AutoencoderKL, VQModel
+
+        get = ((lambda: self.vae_params) if vae_params is None
+               else (lambda: vae_params))
+        vae = self.vae
+        if isinstance(vae, VQModel):
+            enc = lambda x, r: vae.apply(
+                {"params": get()}, x, method=VQModel.encode_pre_quant)
+            dec = lambda z: vae.apply(
+                {"params": get()}, z, method=VQModel.decode_with_quantize)
+        else:
+            enc = lambda x, r: vae.apply(
+                {"params": get()}, x,
+                method=AutoencoderKL.encode).sample(r)
+            dec = lambda z: vae.apply(
+                {"params": get()}, z, method=AutoencoderKL.decode)
+        return _dc.replace(self.ld, encode_fn=enc, decode_fn=dec)
+
+    def _rebind_first_stage(self) -> None:
+        self.ld = self._ld_with_first_stage()
 
     def set_unet_options(self, **updates) -> None:
         """Swap parameter-free static UNet options at serving time —
@@ -413,13 +447,36 @@ class Text2ImagePipeline:
         ks = min(tile, H, W)
         # largest stride <= 3*ks//4 that exactly covers both dims: latent
         # dims are multiples of the UNet factor, so a common divisor exists
-        stride = ks
-        for s in range(min(3 * ks // 4, ks - 1), 0, -1):
-            if (H - ks) % s == 0 and (W - ks) % s == 0:
-                stride = s
-                break
+        stride = self._cover_stride(ks, H, W)
         return patched_apply(dec, z, ks=ks, stride=stride,
                              scale=self._vae_factor())
+
+    @staticmethod
+    def _cover_stride(ks: int, H: int, W: int, step: int = 1) -> int:
+        """Largest stride ≤ 3·ks/4 (a multiple of `step`) that exactly
+        covers both dims, falling back to ks."""
+        for s in range((min(3 * ks // 4, ks - 1) // step) * step, 0, -step):
+            if (H - ks) % s == 0 and (W - ks) % s == 0:
+                return s
+        return ks
+
+    def _encode_raw(self, ld, x, rng, tile: int | None = None):
+        """First-stage encode (pre scale_factor), optionally tiled:
+        `tile`×`tile` PIXEL patches encoded as one vmapped computation and
+        overlap-added at the latent grid (the encode twin of `_decode`'s
+        tiling; reference analog: patched encode_first_stage,
+        ldm/diffusion/ddpm.py:1239-1272). Bounds encoder memory for very
+        large img2img/inpaint inputs."""
+        B, H, W, C = x.shape
+        if tile is None or (H <= tile and W <= tile):
+            return ld.encode_first_stage(x, rng)
+        from sd_tpu.diffusion.latent import patched_apply
+
+        f = self._vae_factor()
+        ks = max(f, (min(tile, H, W) // f) * f)
+        stride = self._cover_stride(ks, H, W, step=f)
+        return patched_apply(lambda xp: ld.encode_fn(xp, rng), x,
+                             ks=ks, stride=stride)
 
     def _program(self, batch: int, steps: int, guidance_scale: float,
                  eta: float, sampler: str = "ddim",
@@ -499,7 +556,9 @@ class Text2ImagePipeline:
         control_image=None,
     ) -> np.ndarray:
         """prompts → uint8 images [B, H, W, 3]. sampler: "ddim", "dpm"
-        (DPM-Solver++(2M): ~15 steps ≈ DDIM-50 quality), "unipc"
+        (DPM-Solver++(2M): ~15 steps ≈ DDIM-50 quality), "dpm_sde"
+        (DPM++ 2M SDE — the stochastic variant; fresh noise each step,
+        more sample diversity at fixed seed count), "unipc"
         (predictor-corrector, arXiv:2302.04867 — reuses each model call to
         correct the previous step; best quality per call at 5-10 steps),
         "plms" (4th-order pseudo linear multistep), or the k-diffusion family
@@ -585,9 +644,11 @@ class Text2ImagePipeline:
     def _img2img_program(self, batch: int, steps: int, guidance_scale: float,
                          t_start: int, masked: bool,
                          guidance_rescale: float,
-                         clip_skip: int | None = None):
+                         clip_skip: int | None = None,
+                         enc_tile: int | None = None,
+                         vae_tile: int | None = None):
         key = ("i2i", batch, steps, guidance_scale, t_start, masked,
-               guidance_rescale, clip_skip)
+               guidance_rescale, clip_skip, enc_tile, vae_tile)
         if key in self._jitted:
             return self._jitted[key]
 
@@ -602,6 +663,7 @@ class Text2ImagePipeline:
                     wts, neg_wts, mask, rng):
             from sd_tpu.utils.prompt_weights import apply_prompt_weights
 
+            ld = self._ld_with_first_stage(vae_params)
             c = self.clip.encode(clip_params, ids, clip_skip=clip_skip)
             uc = self.clip.encode(clip_params, neg_ids, clip_skip=clip_skip)
             c = apply_prompt_weights(c, wts)
@@ -611,7 +673,8 @@ class Text2ImagePipeline:
             cond = {"c_crossattn": [c]}
             uncond = {"c_crossattn": [uc]}
             r_enc, r_noise, r_dec = jax.random.split(rng, 3)
-            z = ld.get_first_stage_encoding(ld.encode_first_stage(x, r_enc))
+            z = ld.get_first_stage_encoding(
+                self._encode_raw(ld, x, r_enc, enc_tile))
             z_noisy = sampler.stochastic_encode(
                 z, jnp.asarray(t_start - 1), r_noise, dd)
             model_fn = ld.model_fn(unet_params)
@@ -625,7 +688,9 @@ class Text2ImagePipeline:
                 z_out = sampler.decode(
                     model_fn, z_noisy, t_start, r_dec, cond=cond,
                     uncond=uncond, guidance_scale=guidance_scale, dd=dd)
-            return ld.decode_first_stage(z_out)
+            return self._decode(
+                vae_params, (z_out / ld.scale_factor).astype(z_out.dtype),
+                tile=vae_tile)
 
         fn = jax.jit(program)
         self._jitted[key] = fn
@@ -643,6 +708,8 @@ class Text2ImagePipeline:
         mask=None,
         guidance_rescale: float = 0.0,
         clip_skip: int | None = None,
+        encode_tile: int | None = None,
+        decode_tile: int | None = None,
     ) -> np.ndarray:
         """Guided image-to-image (reference: DDIM/ddim.py:206-241
         stochastic_encode/decode): re-noise the init image's latent to
@@ -651,7 +718,12 @@ class Text2ImagePipeline:
         blend instead (reference mask path: DDIM/ddim.py:144-147).
 
         init_images: [B, H, W, 3] uint8 or float in [-1, 1], H = the
-        pixel resolution of the first stage."""
+        pixel resolution of the first stage.
+
+        encode_tile/decode_tile: tiled first-stage encode/decode for very
+        large inputs — tile size in PIXELS; patches run as one vmapped
+        computation with Gaussian overlap-add, bounding VAE memory at any
+        resolution (see generate()'s decode_tile)."""
         x = self._to_model_range(init_images)
         b = x.shape[0]
         assert len(prompts) == b, (len(prompts), b)
@@ -681,9 +753,13 @@ class Text2ImagePipeline:
             raise ValueError("negative_prompt list must match prompts length")
         ids, wts = self._tokenize_weighted(list(prompts))
         neg, neg_wts = self._tokenize_weighted(list(negative_prompt))
+        f = self._vae_factor()
         fn = self._img2img_program(b, num_steps, guidance_scale, t_start,
                                    mask is not None, guidance_rescale,
-                                   clip_skip=clip_skip)
+                                   clip_skip=clip_skip,
+                                   enc_tile=encode_tile,
+                                   vae_tile=(None if decode_tile is None
+                                             else max(1, decode_tile // f)))
         img = fn(self.unet_params, self.vae_params, self.clip.params,
                  x, ids, neg, wts, neg_wts, m, jax.random.PRNGKey(seed))
         img = np.asarray(img.astype(jnp.float32))
@@ -740,8 +816,127 @@ class Text2ImagePipeline:
 
     def inpaint(self, prompts: Sequence[str], init_images, mask,
                 **kw) -> np.ndarray:
-        """Mask-blend inpainting (white/1 mask pixels are KEPT, the rest is
-        regenerated under the prompt) — img2img with the mask path and
-        full-schedule strength by default."""
+        """Inpainting (white/1 mask pixels are KEPT, the rest is
+        regenerated under the prompt).
+
+        With a mask-CONDITIONED model (the SD-inpainting layout:
+        `latent.conditioning_key: hybrid`, `unet.in_channels = 2·z + 1` —
+        train with `task: ldm_inpaint`), the UNet sees
+        [z_t | hole-mask↓ | E(masked image)] every step and generates
+        hole content aware of the visible context; the result is
+        composited back into the original at pixel level.
+
+        Otherwise falls back to sampling-time mask-blend img2img
+        (reference mask path: DDIM/ddim.py:144-147) at full-schedule
+        strength."""
+        if self._is_inpaint_model():
+            return self._inpaint_conditioned(prompts, init_images, mask,
+                                             **kw)
         kw.setdefault("strength", 1.0)
         return self.img2img(prompts, init_images, mask=mask, **kw)
+
+    def _is_inpaint_model(self) -> bool:
+        lat = self.cfg["latent"]
+        want = 2 * lat["channels"] + 1
+        got = self.cfg["unet"].get("params", {}).get("in_channels",
+                                                     lat["channels"])
+        return (lat.get("conditioning_key") == "hybrid" and got == want)
+
+    def _normalize_keep_mask(self, mask, b: int, h: int, w: int):
+        """Public keep-mask (white/1 = keep) → pixel-res hole mask
+        [B,H,W,1] float32 in {0,1} (1 = regenerate)."""
+        m = np.asarray(mask, np.float32)
+        if m.ndim == 2:
+            m = m[None]
+        if m.ndim == 3:
+            m = m[..., None]
+        if m.shape[0] == 1 and b > 1:
+            m = np.broadcast_to(m, (b,) + m.shape[1:])
+        if m.max() > 1.0:
+            m = m / 255.0
+        if m.shape[1:3] != (h, w):
+            raise ValueError(f"mask must be image-resolution {(h, w)}, "
+                             f"got {m.shape[1:3]}")
+        return (m <= 0.5).astype(np.float32)  # keep→0, hole→1
+
+    def _inpaint_program(self, batch: int, steps: int, guidance_scale: float,
+                         eta: float, sampler: str, guidance_rescale: float,
+                         latent_hw: tuple[int, int],
+                         clip_skip: int | None = None):
+        key = ("inp", batch, steps, guidance_scale, eta, sampler,
+               guidance_rescale, latent_hw, clip_skip)
+        if key in self._jitted:
+            return self._jitted[key]
+
+        ld = self.ld
+        lh, lw = latent_hw
+        ch = self.cfg["latent"]["channels"]
+
+        def program(unet_params, vae_params, clip_params, x, hole, ids,
+                    neg_ids, wts, neg_wts, rng):
+            from sd_tpu.train.inpaint import inpaint_concat_cond
+            from sd_tpu.utils.prompt_weights import apply_prompt_weights
+
+            ld = self._ld_with_first_stage(vae_params)
+            c = self.clip.encode(clip_params, ids, clip_skip=clip_skip)
+            uc = self.clip.encode(clip_params, neg_ids, clip_skip=clip_skip)
+            c = apply_prompt_weights(c, wts)
+            uc = apply_prompt_weights(uc, neg_wts)
+            if self.param_dtype is not None:
+                c = c.astype(self.param_dtype)
+                uc = uc.astype(self.param_dtype)
+            r_enc, r_sample = jax.random.split(rng)
+            cc = inpaint_concat_cond(ld, x, hole, r_enc, lh, lw)
+            # the concat conditioning rides BOTH CFG branches (the
+            # diffusers/SD-inpainting convention: only the text differs)
+            cond = {"c_crossattn": [c], "c_concat": [cc]}
+            uncond = {"c_crossattn": [uc], "c_concat": [cc]}
+            z = ld.sample(
+                unet_params, r_sample, (batch, lh, lw, ch), cond=cond,
+                uncond=(uncond if guidance_scale > 1.0 else None),
+                guidance_scale=guidance_scale, num_steps=steps, eta=eta,
+                sampler=sampler, guidance_rescale=guidance_rescale,
+                decode=False)
+            img = ld.decode_first_stage(z)
+            # pixel-level composite: generated content in the hole only
+            return img * hole + x * (1.0 - hole)
+
+        fn = jax.jit(program)
+        self._jitted[key] = fn
+        return fn
+
+    def _inpaint_conditioned(
+        self, prompts: Sequence[str], init_images, mask,
+        negative_prompt: str | Sequence[str] = "",
+        num_steps: int = 50, guidance_scale: float = 7.5,
+        eta: float = 0.0, seed: int = 0, sampler: str = "ddim",
+        guidance_rescale: float = 0.0, clip_skip: int | None = None,
+    ) -> np.ndarray:
+        x = self._to_model_range(init_images)
+        b, h, w = x.shape[0], x.shape[1], x.shape[2]
+        assert len(prompts) == b, (len(prompts), b)
+        f = self._vae_factor()
+        if h % f or w % f:
+            raise ValueError(f"init image size must be a multiple of {f}")
+        hole = jnp.asarray(self._normalize_keep_mask(mask, b, h, w))
+        if isinstance(negative_prompt, str):
+            negative_prompt = [negative_prompt] * b
+        elif len(negative_prompt) != b:
+            raise ValueError("negative_prompt list must match prompts length")
+        ids, wts = self._tokenize_weighted(list(prompts))
+        neg, neg_wts = self._tokenize_weighted(list(negative_prompt))
+        fn = self._inpaint_program(b, num_steps, guidance_scale, eta,
+                                   sampler, guidance_rescale,
+                                   latent_hw=(h // f, w // f),
+                                   clip_skip=clip_skip)
+        img = fn(self.unet_params, self.vae_params, self.clip.params,
+                 x, hole, ids, neg, wts, neg_wts, jax.random.PRNGKey(seed))
+        img = np.asarray(img.astype(jnp.float32))
+        out = np.clip((img + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        # host-side uint8 composite so kept pixels are BIT-preserved (the
+        # fp32 [-1,1] round trip + truncating cast is ±1 on its own); rint
+        # recovers the original uint8 exactly (round-trip error < 0.5)
+        orig = np.clip(np.rint((np.asarray(x, np.float32) + 1.0) * 127.5),
+                       0, 255).astype(np.uint8)
+        keep = ~np.asarray(hole).astype(bool)
+        return np.where(np.broadcast_to(keep, out.shape), orig, out)

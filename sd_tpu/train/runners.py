@@ -365,8 +365,11 @@ def build_ldm(cfg: dict, rng: jax.Array):
     pix = size * first_stage_factor(cfg["first_stage"])
     vae, vparams, encode_fn, decode_fn = _build_first_stage(
         cfg["first_stage"], r1, pix)
+    # the UNet may take more than the latent channels (inpainting models
+    # concat the mask + masked-image latent: in_channels = 2·z + 1)
+    want_in = cfg["unet"].get("params", {}).get("in_channels", ch)
     uparams = unet.init(
-        r2, jnp.zeros((1, size, size, ch)), jnp.zeros((1,), jnp.int32),
+        r2, jnp.zeros((1, size, size, want_in)), jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, clip_cfg.max_length, clip_cfg.hidden_size)),
     )["params"]
 

@@ -243,3 +243,48 @@ def test_generate_hires():
     base = pipe.generate(["a cat"], num_steps=2, guidance_scale=2.0, seed=0)
     up = np.asarray(Image.fromarray(base[0]).resize((64, 64), Image.BICUBIC))
     assert not np.array_equal(out[0], up)
+
+
+def test_img2img_threads_current_vae_params(smoke_pipe_cfg=None):
+    """The img2img/inpaint programs must encode/decode with the pipeline's
+    CURRENT first-stage params, passed as jit ARGUMENTS — not the
+    build-time init tree baked in as constants (the from_sd_checkpoint /
+    bf16-cast staleness bug class). Zeroing self.vae_params after the
+    first call must change the output without any cache reset."""
+    import jax
+    import jax.numpy as jnp
+
+    from sd_tpu.core.config import load_yaml
+    from sd_tpu.pipeline import Text2ImagePipeline
+
+    cfg = load_yaml("configs/sd_txt2img_smoke.yaml")
+    pipe = Text2ImagePipeline(cfg, param_dtype=None)
+    rng = np.random.default_rng(0)
+    init = rng.integers(0, 255, (1, 32, 32, 3), dtype=np.uint8)
+    out1 = pipe.img2img(["a"], init, num_steps=2, strength=0.5, seed=3)
+    pipe.vae_params = jax.tree.map(
+        lambda a: jnp.zeros_like(a)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, pipe.vae_params)
+    out2 = pipe.img2img(["a"], init, num_steps=2, strength=0.5, seed=3)
+    assert not np.array_equal(out1, out2)
+
+
+def test_img2img_encode_decode_tiling():
+    """encode_tile/decode_tile on img2img: tile >= image is the untiled
+    program (bitwise — same jit program modulo the tiling branch), and a
+    smaller tile still produces finite images of the right shape."""
+    from sd_tpu.core.config import load_yaml
+    from sd_tpu.pipeline import Text2ImagePipeline
+
+    cfg = load_yaml("configs/sd_txt2img_smoke.yaml")
+    pipe = Text2ImagePipeline(cfg, param_dtype=None)
+    rng = np.random.default_rng(1)
+    init = rng.integers(0, 255, (1, 32, 32, 3), dtype=np.uint8)
+    base = pipe.img2img(["a"], init, num_steps=2, strength=0.5, seed=5)
+    big = pipe.img2img(["a"], init, num_steps=2, strength=0.5, seed=5,
+                       encode_tile=64, decode_tile=64)
+    np.testing.assert_array_equal(base, big)
+    tiled = pipe.img2img(["a"], init, num_steps=2, strength=0.5, seed=5,
+                         encode_tile=16, decode_tile=16)
+    assert tiled.shape == base.shape
+    assert np.isfinite(tiled.astype(np.float32)).all()
