@@ -39,6 +39,9 @@ def main():
                     help="CFG std-rescale (arXiv:2305.08891), 0=off, ~0.7 "
                          "fixes over-exposure at high guidance")
     ap.add_argument("--eta", type=float, default=None)
+    ap.add_argument("--sag-scale", type=float, default=0.0,
+                    help="Self-Attention Guidance strength (arXiv:2210.00939;"
+                         " typical 0.5-0.75, ddim sampler only)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--platform", default=None)
@@ -131,6 +134,9 @@ def main():
 
         if not args.control_image:
             raise SystemExit("--controlnet needs --control-image")
+        if args.sag_scale > 0.0:
+            raise SystemExit("--sag-scale cannot combine with --controlnet "
+                             "(the SAG probe pass has no control branch)")
         f_vae = first_stage_factor(cfg["first_stage"])
         pix = lat["image_size"] * f_vae
         im = Image.open(args.control_image).convert("RGB").resize((pix, pix))
@@ -162,6 +168,7 @@ def main():
         cond=cond, uncond=uncond,
         guidance_scale=gs, num_steps=steps, sampler=sampler,
         guidance_rescale=args.guidance_rescale,
+        sag_scale=args.sag_scale,
         **({"eta": eta} if sampler == "ddim" else {}),
     )
     save_image_grid(np.asarray(img), args.out)

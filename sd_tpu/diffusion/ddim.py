@@ -109,6 +109,95 @@ class DDIMSampler:
                 * temperature)
         return x_prev.astype(x.dtype), pred_x0.astype(x.dtype)
 
+    # -- single step with Self-Attention Guidance ---------------------------
+
+    def p_sample_ddim_sag(
+        self,
+        model_fn: ModelFn,
+        probs_fn: Callable,      # (x, t, cond) -> (model_out, sag_mask)
+        x: jax.Array,
+        t: jax.Array,
+        index: jax.Array,
+        dd: DDIMSchedule,
+        rng: jax.Array,
+        cond: Any = None,
+        uncond: Any = None,
+        guidance_scale: float = 1.0,
+        temperature: float = 1.0,
+        cond_batched: Any = None,
+        guidance_rescale: float = 0.0,
+        sag_scale: float = 0.75,
+        sag_kernel: int = 9,
+        sag_sigma: float = 1.0,
+    ) -> tuple[jax.Array, jax.Array]:
+        """One DDIM update with Self-Attention Guidance (diffusion/sag.py,
+        arXiv:2210.00939). The SAG term rides the unconditional branch when
+        CFG is active (the paper's composition):
+
+            ε* = CFG(ε_u, ε_c) + s_sag · (ε_u − ε(x̃_t degraded, uncond))
+
+        Costs one extra model forward per step; the attention capture
+        replaces the main call via `probs_fn`."""
+        from sd_tpu.diffusion.sag import degrade_pred_x0
+
+        nd = x.ndim
+        a_t = extract(dd.alphas, index[None], nd)
+        sigma_t = extract(dd.sigmas, index[None], nd)
+        sqrt_1m_at = extract(dd.sqrt_one_minus_alphas, index[None], nd)
+        sqrt_at = jnp.sqrt(a_t)
+
+        def to_eps(out, xx):
+            o32, x32 = out.astype(jnp.float32), xx.astype(jnp.float32)
+            if self.parameterization == "v":
+                return sqrt_1m_at * x32 + sqrt_at * o32
+            if self.parameterization == "x0":
+                return (x32 - sqrt_at * o32) / sqrt_1m_at
+            return o32
+
+        b = x.shape[0]
+        if uncond is None or guidance_scale == 1.0:
+            out, mask = probs_fn(x, t, cond)
+            e_base = to_eps(out, x)
+            e_t = e_base
+            guide_cond = cond
+        else:
+            x_in = jnp.concatenate([x, x], axis=0)
+            t_in = jnp.concatenate([t, t], axis=0)
+            c_in = cond_batched if cond_batched is not None else jax.tree.map(
+                lambda u, c: jnp.concatenate([u, c], axis=0), uncond, cond
+            )
+            out, mask2 = probs_fn(x_in, t_in, c_in)
+            e_uncond = to_eps(out[:b], x)
+            e_cond = to_eps(out[b:], x)
+            mask = mask2[:b]  # the unconditional half's salience
+            e_t = apply_cfg(e_uncond, e_cond, guidance_scale,
+                            guidance_rescale)
+            e_base = e_uncond
+            guide_cond = uncond
+
+        # degrade the ε_base-implied x̂0 inside the salience mask, re-noise
+        # with the SAME ε, and guide away from the degraded prediction
+        x32 = x.astype(jnp.float32)
+        x0_base = (x32 - sqrt_1m_at * e_base) / sqrt_at
+        x0_deg = degrade_pred_x0(x0_base, mask, sag_kernel, sag_sigma)
+        x_deg = (sqrt_at * x0_deg + sqrt_1m_at * e_base).astype(x.dtype)
+        e_deg = to_eps(model_fn(x_deg, t, guide_cond), x_deg)
+        e_t = e_t + sag_scale * (e_base - e_deg)
+
+        a_prev = extract(dd.alphas_prev, index[None], nd)
+        pred_x0 = (x32 - sqrt_1m_at * e_t) / sqrt_at
+        if self.clip_denoised:
+            pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+        if self.quantize_fn is not None:
+            pred_x0 = self.quantize_fn(pred_x0).astype(pred_x0.dtype)
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
+        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt
+        if rng is not None:
+            x_prev = x_prev + (
+                sigma_t * jax.random.normal(rng, x.shape, jnp.float32)
+                * temperature)
+        return x_prev.astype(x.dtype), pred_x0.astype(x.dtype)
+
     # -- full reverse pass ---------------------------------------------------
 
     def sample(
@@ -129,12 +218,22 @@ class DDIMSampler:
         return_pred_x0: bool = False,
         dd: DDIMSchedule | None = None,
         guidance_rescale: float = 0.0,
+        sag_scale: float = 0.0,
+        sag_probs_fn: Callable | None = None,
+        sag_kernel: int = 9,
+        sag_sigma: float = 1.0,
     ):
         """S-step DDIM sampling as one scan (reference: DDIM/ddim.py:56-163).
 
         mask/x0: inpainting — keeps `mask`-marked regions at q_sample(x0, t)
         each step (mask==1 preserves the original).
+
+        sag_scale > 0 enables Self-Attention Guidance (diffusion/sag.py);
+        requires `sag_probs_fn` (x, t, cond) -> (model_out, salience_mask),
+        e.g. LatentDiffusion.model_probs_fn(params).
         """
+        if sag_scale > 0.0 and sag_probs_fn is None:
+            raise ValueError("sag_scale > 0 requires sag_probs_fn")
         if dd is None:
             dd = self.make_schedule(num_steps, eta=eta, method=method)
         b = shape[0]
@@ -173,12 +272,23 @@ class DDIMSampler:
                 img_orig = self.schedule.q_sample(x0, t, noise)
                 img = img_orig * mask + (1.0 - mask) * img
 
-            img, pred_x0 = self.p_sample_ddim(
-                model_fn, img, t, index, dd, step_rng if stochastic else None,
-                cond=cond, uncond=uncond, guidance_scale=guidance_scale,
-                temperature=temperature, cond_batched=cond_batched,
-                guidance_rescale=guidance_rescale,
-            )
+            if sag_scale > 0.0:
+                img, pred_x0 = self.p_sample_ddim_sag(
+                    model_fn, sag_probs_fn, img, t, index, dd,
+                    step_rng if stochastic else None,
+                    cond=cond, uncond=uncond, guidance_scale=guidance_scale,
+                    temperature=temperature, cond_batched=cond_batched,
+                    guidance_rescale=guidance_rescale, sag_scale=sag_scale,
+                    sag_kernel=sag_kernel, sag_sigma=sag_sigma,
+                )
+            else:
+                img, pred_x0 = self.p_sample_ddim(
+                    model_fn, img, t, index, dd,
+                    step_rng if stochastic else None,
+                    cond=cond, uncond=uncond, guidance_scale=guidance_scale,
+                    temperature=temperature, cond_batched=cond_batched,
+                    guidance_rescale=guidance_rescale,
+                )
             return (img, rng), (pred_x0 if return_pred_x0 else None)
 
         indices = jnp.arange(dd.num_steps - 1, -1, -1, dtype=jnp.int32)

@@ -107,6 +107,10 @@ class LatentDiffusion:
     # per (sample, channel) to the training noise, teaching the model to
     # move overall image brightness — plain iid noise never asks it to.
     noise_offset: float = 0.0
+    # Optional probe apply for Self-Attention Guidance (diffusion/sag.py):
+    # (params, x, t, ctx, y=None) -> (out, salience_mask). Built by
+    # sag.make_probs_apply(unet); attached by build_ldm / the pipeline.
+    unet_apply_probs: Callable | None = None
 
     @property
     def schedule(self) -> DiffusionSchedule:
@@ -172,6 +176,17 @@ class LatentDiffusion:
         """(x, t, cond) -> prediction closure for the samplers."""
         return lambda x, t, cond: self.apply_model(params, x, t, cond)
 
+    def model_probs_fn(self, params: PyTree) -> Callable:
+        """(x, t, cond) -> (prediction, sag_salience_mask) closure — the
+        Self-Attention Guidance probe (diffusion/sag.py). Needs
+        `unet_apply_probs` attached (sag.make_probs_apply)."""
+        if self.unet_apply_probs is None:
+            raise ValueError(
+                "SAG needs unet_apply_probs — attach "
+                "sag.make_probs_apply(unet) to this LatentDiffusion")
+        return lambda x, t, cond: apply_conditioned(
+            self.unet_apply_probs, params, x, t, cond, self.conditioning_key)
+
     # -- training loss (reference: ldm/diffusion/ddpm.py:1483-1524) ---------
 
     def p_losses(
@@ -215,6 +230,7 @@ class LatentDiffusion:
         use_ddim: bool = True,
         decode: bool = True,
         sampler: str | None = None,
+        sag_scale: float = 0.0,
         **kw,
     ):
         """Latent sampling + optional first-stage decode
@@ -230,6 +246,13 @@ class LatentDiffusion:
         model_fn = self.model_fn(params)
         if sampler is None:
             sampler = "ddim" if use_ddim else "ddpm"
+        if sag_scale > 0.0:
+            if sampler != "ddim":
+                raise ValueError(
+                    f"sag_scale is only supported by the ddim sampler, "
+                    f"got sampler={sampler!r}")
+            kw = dict(kw, sag_scale=sag_scale,
+                      sag_probs_fn=self.model_probs_fn(params))
         if sampler in ("euler", "euler_a", "heun"):
             from sd_tpu.diffusion.k_samplers import KDiffusionSampler
 

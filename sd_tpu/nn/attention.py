@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sd_tpu.kernels.attention import dot_product_attention
+from sd_tpu.nn import attn_probe
 from sd_tpu.nn.layers import GroupNorm32
 
 
@@ -156,6 +157,23 @@ class CrossAttention(nn.Module):
         wo, bo = _DenseParams(C, inner, name="to_out")()
         cdt = self.dtype or jnp.result_type(x.dtype, jnp.float32)
         xc, cc = x.astype(cdt), ctx.astype(cdt)
+
+        if (mask is None and context is None
+                and attn_probe.wants_capture(self.scope.path, N)):
+            # probe path (nn/attn_probe.py): explicit softmax probs, sown
+            # for guidance/visualization (SAG). Trace-time opt-in only.
+            q = (xc @ wq.astype(cdt)).reshape(B, N, h, d)
+            k = (cc @ wk.astype(cdt)).reshape(B, M, h, d)
+            v = (cc @ wv.astype(cdt)).reshape(B, M, h, d)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            logits = logits.astype(jnp.float32) * self.dim_head**-0.5
+            probs = jax.nn.softmax(logits, axis=-1)
+            self.sow("intermediates", attn_probe.SOW_NAME, probs)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32).astype(cdt)
+            out = out.reshape(B, N, inner) @ wo.astype(cdt) + bo.astype(cdt)
+            return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
         if (mask is None and context is None
                 and hpacked_flash_ok(N, M, h, d)):

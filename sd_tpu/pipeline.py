@@ -92,12 +92,17 @@ class Text2ImagePipeline:
         """
         import dataclasses as _dc
 
+        from sd_tpu.diffusion.sag import make_probs_apply
+
         self.unet = self.unet.clone(**updates)
         unet = self.unet
         self.ld = _dc.replace(
             self.ld,
             unet_apply=lambda p, x, t, ctx, y=None: unet.apply(
                 {"params": p}, x, t, ctx, y),
+            unet_apply_probs=(make_probs_apply(unet)
+                              if getattr(unet, "use_spatial_transformer",
+                                         False) else None),
         )
         self._jitted = {}
 
@@ -484,13 +489,14 @@ class Text2ImagePipeline:
                  latent_hw: tuple[int, int] | None = None,
                  clip_skip: int | None = None,
                  vae_tile: int | None = None,
-                 controlled: bool = False):
+                 controlled: bool = False,
+                 sag_scale: float = 0.0):
         lat = self.cfg["latent"]
         if latent_hw is None:
             latent_hw = (lat["image_size"], lat["image_size"])
         key = (batch, steps, guidance_scale, eta, sampler, guidance_rescale,
                latent_hw, clip_skip, vae_tile,
-               (self.control_scale if controlled else None))
+               (self.control_scale if controlled else None), sag_scale)
         if key in self._jitted:
             return self._jitted[key]
 
@@ -528,6 +534,7 @@ class Text2ImagePipeline:
                 guidance_scale=guidance_scale, num_steps=steps,
                 sampler=sampler, decode=False,
                 guidance_rescale=guidance_rescale,
+                sag_scale=sag_scale,
                 **({"eta": eta} if sampler == "ddim" else {}),
             )
             img = self._decode(
@@ -554,6 +561,7 @@ class Text2ImagePipeline:
         clip_skip: int | None = None,
         decode_tile: int | None = None,
         control_image=None,
+        sag_scale: float = 0.0,
     ) -> np.ndarray:
         """prompts → uint8 images [B, H, W, 3]. sampler: "ddim", "dpm"
         (DPM-Solver++(2M): ~15 steps ≈ DDIM-50 quality), "dpm_sde"
@@ -583,7 +591,13 @@ class Text2ImagePipeline:
         control_image: ControlNet hint (after load_controlnet) — the
         pixel-resolution conditioning map ([B?, H, W, C] uint8 or float
         [0,1], e.g. sd_tpu.data.hints.edge_hint output); structure-guided
-        generation per arXiv:2302.05543."""
+        generation per arXiv:2302.05543.
+        sag_scale: Self-Attention Guidance strength (arXiv:2210.00939;
+        diffusion/sag.py — typical 0.5-0.75). Parameter-free sharpness/
+        detail knob: +1 UNet forward per step; "ddim" sampler only."""
+        if sag_scale > 0.0 and control_image is not None:
+            raise ValueError("sag_scale and control_image cannot combine: "
+                             "the SAG probe pass has no control branch")
         if isinstance(negative_prompt, str):
             negative_prompt = [negative_prompt] * len(prompts)
         elif len(negative_prompt) != len(prompts):
@@ -617,7 +631,7 @@ class Text2ImagePipeline:
                            vae_tile=(None if decode_tile is None
                                      else max(1, decode_tile
                                               // self._vae_factor())),
-                           controlled=controlled)
+                           controlled=controlled, sag_scale=sag_scale)
         ids, neg, rng = self._place_inputs(ids, neg, jax.random.PRNGKey(seed))
         wts, neg_wts = self._place_batched(wts, neg_wts)
         if controlled:

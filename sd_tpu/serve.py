@@ -17,7 +17,7 @@ shares one jitted program, collects up to `max_batch` prompts inside a
 Endpoints (JSON over HTTP; stdlib http.server — zero dependencies):
   POST /generate  {"prompt": str, "negative_prompt"?, "steps"?,
                    "guidance_scale"?, "sampler"?, "seed"?, "width"?,
-                   "height"?, "guidance_rescale"?}
+                   "height"?, "guidance_rescale"?, "sag_scale"?}
                   → {"image": <base64 PNG>, "batch_size": n, "seed": s}
   GET  /healthz   → {"ok": true, "queue_depth": d}
 
@@ -83,6 +83,7 @@ def _make_key(params: dict, explicit_seed: bool) -> tuple:
         params["width"],
         int(params["seed"]) if explicit_seed else None,
         params["clip_skip"],
+        float(params.get("sag_scale", 0.0)),
     )
 
 
@@ -189,7 +190,10 @@ class BatchingServer:
             "seed": seed,
             "clip_skip": int(body["clip_skip"]) if body.get("clip_skip")
                          else None,
+            "sag_scale": float(body.get("sag_scale", 0.0)),
         }
+        if params["sag_scale"] > 0.0 and sampler != "ddim":
+            raise ValueError("sag_scale requires the ddim sampler")
         return _Request(
             prompt=prompt,
             negative_prompt=str(body.get("negative_prompt", "")),
@@ -245,6 +249,8 @@ class BatchingServer:
                     clip_skip=params["clip_skip"],
                     **({"eta": params["eta"]}
                        if params["sampler"] == "ddim" else {}),
+                    **({"sag_scale": params["sag_scale"]}
+                       if params.get("sag_scale", 0.0) > 0.0 else {}),
                 )
                 for i, r in enumerate(group):
                     r.image = np.asarray(imgs[i])

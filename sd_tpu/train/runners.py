@@ -381,11 +381,16 @@ def build_ldm(cfg: dict, rng: jax.Array):
         parameterization=diff_cfg.get("parameterization", "eps"),
         min_snr_gamma=min_snr,
     )
+    from sd_tpu.diffusion.sag import make_probs_apply
+
     ld = LatentDiffusion(
         process=process,
         unet_apply=lambda p, x, t, ctx, y=None: unet.apply(
             {"params": p}, x, t, ctx, y
         ),
+        unet_apply_probs=(make_probs_apply(unet)
+                          if getattr(unet, "use_spatial_transformer", False)
+                          else None),
         encode_fn=encode_fn,
         decode_fn=decode_fn,
         cond_fn=None,

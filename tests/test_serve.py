@@ -29,11 +29,12 @@ class StubPipeline:
 
     def generate(self, prompts, negative_prompt="", num_steps=30,
                  guidance_scale=7.5, guidance_rescale=0.0, sampler="ddim",
-                 seed=0, height=None, width=None, clip_skip=None, eta=0.0):
+                 seed=0, height=None, width=None, clip_skip=None, eta=0.0,
+                 sag_scale=0.0):
         with self.lock:
             self.calls.append({
                 "prompts": list(prompts), "steps": num_steps,
-                "sampler": sampler, "seed": seed,
+                "sampler": sampler, "seed": seed, "sag_scale": sag_scale,
             })
         if self.fail:
             raise RuntimeError("synthetic model failure")
@@ -258,4 +259,25 @@ def test_max_batch_respected():
     finally:
         server.shutdown()
         server.server_close()
+        batcher.stop()
+
+
+def test_sag_scale_keys_batches_and_validates():
+    """sag_scale joins the compilation key, reaches generate(), and
+    rejects non-ddim samplers at validation time."""
+    stub = StubPipeline()
+    batcher = BatchingServer(stub, max_batch=4, batch_window_ms=100)
+    batcher.start()
+    try:
+        r = batcher.submit({"prompt": "a", "steps": 5, "seed": 3,
+                            "sag_scale": 0.75})
+        assert r["seed"] == 3
+        assert stub.calls[-1]["sag_scale"] == 0.75
+        # default: sag off → generate sees 0.0 (kwarg omitted → stub default)
+        batcher.submit({"prompt": "b", "steps": 5, "seed": 3})
+        assert stub.calls[-1]["sag_scale"] == 0.0
+        with pytest.raises(ValueError, match="ddim"):
+            batcher.submit({"prompt": "c", "sampler": "euler",
+                            "sag_scale": 0.5})
+    finally:
         batcher.stop()
