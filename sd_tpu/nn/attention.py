@@ -158,10 +158,12 @@ class CrossAttention(nn.Module):
         cdt = self.dtype or jnp.result_type(x.dtype, jnp.float32)
         xc, cc = x.astype(cdt), ctx.astype(cdt)
 
-        if (mask is None and context is None
-                and attn_probe.wants_capture(self.scope.path, N)):
+        if (mask is None
+                and attn_probe.wants_capture(self.scope.path, N,
+                                             is_self=context is None)):
             # probe path (nn/attn_probe.py): explicit softmax probs, sown
-            # for guidance/visualization (SAG). Trace-time opt-in only.
+            # for guidance/visualization (SAG, utils/attn_viz.py).
+            # Trace-time opt-in only.
             q = (xc @ wq.astype(cdt)).reshape(B, N, h, d)
             k = (cc @ wk.astype(cdt)).reshape(B, M, h, d)
             v = (cc @ wv.astype(cdt)).reshape(B, M, h, d)
