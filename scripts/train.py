@@ -67,6 +67,8 @@ def main():
         from sd_tpu.train.textual_inversion import train_textual_inversion as run
     if run is None and task == "dreambooth":
         from sd_tpu.train.dreambooth import train_dreambooth as run
+    if run is None and task == "distill":
+        from sd_tpu.train.distill import distill_ldm as run
     if run is None:
         raise SystemExit(f"unknown task {task!r}")
     run(cfg, args.data, out_dir=out, max_steps=args.max_steps)

@@ -285,6 +285,27 @@ class LatentDiffusion:
                 model_fn, rng, shape, num_steps=num_steps, cond=cond,
                 uncond=uncond, guidance_scale=guidance_scale, **kw,
             )
+        elif sampler in ("lcm", "consistency"):
+            # few-step serving of a consistency-distilled student
+            # (train/distill.py, arXiv:2310.04378); CFG is baked in at
+            # distillation time, so uncond/guidance_scale do not apply
+            from sd_tpu.diffusion.consistency import ConsistencyDistiller
+
+            if uncond is not None and guidance_scale != 1.0:
+                raise ValueError(
+                    "lcm sampling has no CFG branch — guidance was baked "
+                    "in at distillation (distill.guidance_scale)")
+            kw.pop("guidance_rescale", None)  # CFG-only knob (scripts/sample.py)
+            z = ConsistencyDistiller(
+                self.schedule,
+                parameterization=self.process.parameterization,
+                sigma_data=kw.pop("sigma_data", 0.5),
+                timestep_scaling=kw.pop("timestep_scaling", 10.0),
+                num_boundaries=kw.pop("num_boundaries", 50),
+            ).sample(
+                model_fn, rng, shape, num_steps=num_steps, cond=cond,
+                **kw,
+            )
         elif sampler == "plms":
             from sd_tpu.diffusion.plms import PLMSSampler
 

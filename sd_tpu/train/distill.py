@@ -1,0 +1,175 @@
+"""Consistency-distillation trainer: compress a trained latent-diffusion
+teacher into a 1-4-step student (LCM, arXiv:2310.04378 — beyond the
+reference, whose cheapest serving path is the 50-call DDIM loop,
+DDIM/ddim.py:113-163).
+
+The student shares the teacher's architecture and starts FROM the teacher's
+EMA weights; each jitted step runs teacher (frozen, one DDIM solver step),
+student, and the EMA-target network in one graph. The TrainState's own EMA
+shadow doubles as the consistency target network (decay ~0.95 — much
+faster-moving than the 0.9999 eval EMA, as the algorithm requires).
+
+Deploys through the ordinary run layout: `Text2ImagePipeline.from_run`
+restores the student, `sampler="lcm"` serves it.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sd_tpu.core.config import load_yaml
+from sd_tpu.core.ema import ema_update
+from sd_tpu.diffusion.consistency import ConsistencyDistiller
+from sd_tpu.train.checkpoint import auto_resume, restore_checkpoint
+from sd_tpu.train.diffusion import (
+    TrainState,
+    ddpm_optimizer,
+    init_train_state,
+)
+from sd_tpu.train.metrics import count_params
+from sd_tpu.train.runners import (
+    _build_loader,
+    _make_lr,
+    _run_loop,
+    apply_calibration,
+    build_ldm,
+    ema_eval_params,
+)
+
+PyTree = Any
+
+
+def load_teacher_params(cfg: dict, teacher_run: str, template: PyTree) -> PyTree:
+    """EMA UNet weights from a finished train_ldm run directory (the same
+    restore path as Text2ImagePipeline.from_run, pipeline.py:118-158)."""
+    ckpt_dir = os.path.join(teacher_run, "ckpt")
+    state = init_train_state(template, ddpm_optimizer(1e-4),
+                             cfg["train"].get("ema_decay", 0.9999),
+                             num_timesteps=cfg["diffusion"]["timesteps"])
+    state = restore_checkpoint(ckpt_dir, state)
+    return state.ema.shadow if state.ema is not None else state.params
+
+
+def make_consistency_train_step(loss_fn, optimizer: optax.GradientTransformation,
+                                jit: bool = True):
+    """(state, batch, rng) -> (state, logs) where
+    loss_fn(params, target_params, batch, rng) -> (loss, logs) and
+    target_params is the state's EMA shadow — updated AFTER the gradient
+    step, per the consistency-distillation two-timescale recipe."""
+
+    def train_step(state: TrainState, batch, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        target = state.ema.shadow
+
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, target, batch, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema, params)
+        logs = dict(logs)
+        logs["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params=params, opt_state=opt_state, ema=ema,
+                          step=state.step + 1, logvar=state.logvar), logs
+
+    def traced_step(*args, **kw):
+        from sd_tpu.kernels.conv2d import training_trace
+
+        with training_trace():
+            return train_step(*args, **kw)
+
+    return jax.jit(traced_step, donate_argnums=(0,)) if jit else traced_step
+
+
+def distill_ldm(config: dict | str, data_dir: str,
+                out_dir: str = "runs/distill",
+                max_steps: int | None = None) -> Any:
+    """Distill a trained LDM run into a few-step consistency student.
+
+    Config: the teacher's LDM config plus a `distill:` block —
+        distill:
+          teacher_run: runs/ldm32_catdog   # finished train_ldm output
+          num_boundaries: 50               # solver grid (LCM skipping-step)
+          guidance_scale: 1.0              # >1 bakes CFG into the student
+          sigma_data: 0.5
+          timestep_scaling: 10.0
+          target_ema_decay: 0.95           # consistency target network
+          sample_steps: 2                  # eval-grid sampling budget
+    `train.ema_decay` is OVERRIDDEN by target_ema_decay: the state's EMA is
+    the target network here, not an eval-smoothing shadow."""
+    cfg = load_yaml(config) if isinstance(config, str) else config
+    tc = cfg["train"]
+    dc = cfg["distill"]
+    rng = jax.random.PRNGKey(cfg.get("seed", 0))
+
+    ld, unet, uparams, vae, vparams, clip = build_ldm(cfg, rng)
+    teacher_run = dc["teacher_run"]
+    ld = apply_calibration(ld, cfg, os.path.join(teacher_run, "ckpt"))
+    if cfg["latent"].get("scale_factor") == "auto" and ld.scale_factor == 1.0:
+        raise ValueError(
+            f"teacher run {teacher_run} has no calibration.json — "
+            "finish train_ldm first")
+
+    teacher_params = load_teacher_params(cfg, teacher_run, uparams)
+    # student starts at the teacher — as a COPY: the train step donates the
+    # state, and donation would invalidate the teacher closure's buffers if
+    # they were shared
+    student_params = jax.tree.map(jnp.copy, teacher_params)
+    print(f"[distill] student params: {count_params(student_params)/1e6:.1f}M "
+          f"(init from {teacher_run} EMA)")
+
+    distiller = ConsistencyDistiller(
+        schedule=ld.schedule,
+        parameterization=ld.process.parameterization,
+        sigma_data=float(dc.get("sigma_data", 0.5)),
+        timestep_scaling=float(dc.get("timestep_scaling", 10.0)),
+        num_boundaries=int(dc.get("num_boundaries", 50)),
+    )
+    w = float(dc.get("guidance_scale", 1.0))
+    uncond_emb = clip([""]) if w != 1.0 else None
+
+    def loss_fn(p, target_p, batch, step_rng):
+        r_enc, r_cd = jax.random.split(step_rng)
+        z0, cond = ld.get_input(batch, r_enc)
+        uncond = None
+        if uncond_emb is not None:
+            b = z0.shape[0]
+            uncond = {"c_crossattn": [jnp.tile(uncond_emb, (b, 1, 1))]}
+        return distiller.distill_loss(
+            ld.model_fn(p), ld.model_fn(target_p),
+            ld.model_fn(teacher_params),
+            z0, r_cd, cond=cond, uncond=uncond, guidance_scale=w)
+
+    def embed_batch(batch):
+        out = {"image": jnp.asarray(batch["image"])}
+        out["txt_emb"] = clip(batch.get("txt_raw", [""] * len(batch["image"])))
+        return out
+
+    opt = ddpm_optimizer(_make_lr(tc), tc.get("grad_clip", 1.0),
+                         weight_decay=tc.get("weight_decay", 0.0))
+    state = init_train_state(student_params, opt,
+                             float(dc.get("target_ema_decay", 0.95)))
+    state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
+    step_fn = make_consistency_train_step(loss_fn, opt)
+
+    lat = cfg["latent"]
+    n_eval_steps = int(dc.get("sample_steps", 2))
+
+    def sampler(st, s_rng):
+        params = ema_eval_params(st)
+        emb = clip([""] * 4)
+        z = distiller.sample(
+            ld.model_fn(params), s_rng,
+            (4, lat["image_size"], lat["image_size"], lat["channels"]),
+            num_steps=n_eval_steps, cond={"c_crossattn": [emb]})
+        return ld.decode_first_stage(z)
+
+    state = _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
+                      max_steps=max_steps, sampler=sampler,
+                      batch_transform=embed_batch)
+    return state
