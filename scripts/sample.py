@@ -162,7 +162,9 @@ def main():
         cond["c_control"] = hint
         uncond["c_control"] = hint
 
-    sampler = args.sampler or "ddim"
+    sampler = args.sampler or (
+        "flow" if getattr(ld.process, "is_flow", False)
+        else sc.get("sampler", "ddim"))
     img = ld.sample(
         uparams, rng, shape,
         cond=cond, uncond=uncond,

@@ -5,6 +5,7 @@ from sd_tpu.diffusion.plms import PLMSSampler
 from sd_tpu.diffusion.unipc import UniPCSampler, UniPCSchedule
 from sd_tpu.diffusion.k_samplers import KDiffusionSampler, KSchedule
 from sd_tpu.diffusion.consistency import ConsistencyDistiller
+from sd_tpu.diffusion.flow import FlowEulerSampler, FlowProcess, FlowSchedule
 from sd_tpu.diffusion.latent import (
     LatentDiffusion,
     apply_conditioned,

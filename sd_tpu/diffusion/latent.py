@@ -244,6 +244,13 @@ class LatentDiffusion:
         arXiv:2206.00364) / "ddpm" (ancestral);
         overrides the legacy use_ddim flag when given."""
         model_fn = self.model_fn(params)
+        if getattr(self.process, "is_flow", False):
+            # rectified-flow model (diffusion/flow.py): ODE samplers only
+            sampler = sampler or "flow"
+            if sampler not in ("flow", "flow_midpoint"):
+                raise ValueError(
+                    f"a flow-matching model needs sampler='flow' or "
+                    f"'flow_midpoint', got {sampler!r}")
         if sampler is None:
             sampler = "ddim" if use_ddim else "ddpm"
         if sag_scale > 0.0:
@@ -253,7 +260,23 @@ class LatentDiffusion:
                     f"got sampler={sampler!r}")
             kw = dict(kw, sag_scale=sag_scale,
                       sag_probs_fn=self.model_probs_fn(params))
-        if sampler in ("euler", "euler_a", "heun"):
+        if sampler in ("flow", "flow_midpoint"):
+            from sd_tpu.diffusion.flow import FlowEulerSampler
+
+            if not getattr(self.process, "is_flow", False):
+                raise ValueError(
+                    "sampler='flow' needs a FlowProcess model "
+                    "(diffusion.type: flow)")
+            kw.pop("guidance_rescale", None)
+            z = FlowEulerSampler(
+                self.schedule,
+                method=("midpoint" if sampler == "flow_midpoint"
+                        else "euler"),
+            ).sample(
+                model_fn, rng, shape, num_steps=num_steps, cond=cond,
+                uncond=uncond, guidance_scale=guidance_scale, **kw,
+            )
+        elif sampler in ("euler", "euler_a", "heun"):
             from sd_tpu.diffusion.k_samplers import KDiffusionSampler
 
             z = KDiffusionSampler(

@@ -108,6 +108,9 @@ def distill_ldm(config: dict | str, data_dir: str,
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
 
     ld, unet, uparams, vae, vparams, clip = build_ldm(cfg, rng)
+    if getattr(ld.process, "is_flow", False):
+        raise ValueError("consistency distillation needs a DDPM-schedule "
+                         "teacher (diffusion.type: ddpm), not a flow model")
     teacher_run = dc["teacher_run"]
     ld = apply_calibration(ld, cfg, os.path.join(teacher_run, "ckpt"))
     if cfg["latent"].get("scale_factor") == "auto" and ld.scale_factor == 1.0:

@@ -375,12 +375,25 @@ def build_ldm(cfg: dict, rng: jax.Array):
 
     diff_cfg = dict(cfg.get("diffusion", {}))
     min_snr = diff_cfg.pop("min_snr_gamma", None)
-    sched = DiffusionSchedule.create(**diff_cfg)
-    process = DDPMProcess(
-        sched, clip_denoised=False,
-        parameterization=diff_cfg.get("parameterization", "eps"),
-        min_snr_gamma=min_snr,
-    )
+    if diff_cfg.pop("type", "ddpm") == "flow":
+        # rectified-flow objective (diffusion/flow.py, arXiv:2403.03206) —
+        # same trainers, velocity target, ODE sampling (sampler="flow")
+        from sd_tpu.diffusion.flow import FlowProcess, FlowSchedule
+
+        process = FlowProcess(
+            FlowSchedule(num_timesteps=diff_cfg.get("timesteps", 1000),
+                         shift=float(diff_cfg.get("shift", 1.0))),
+            timestep_density=diff_cfg.get("timestep_density", "uniform"),
+            logit_mean=float(diff_cfg.get("logit_mean", 0.0)),
+            logit_std=float(diff_cfg.get("logit_std", 1.0)),
+        )
+    else:
+        sched = DiffusionSchedule.create(**diff_cfg)
+        process = DDPMProcess(
+            sched, clip_denoised=False,
+            parameterization=diff_cfg.get("parameterization", "eps"),
+            min_snr_gamma=min_snr,
+        )
     from sd_tpu.diffusion.sag import make_probs_apply
 
     ld = LatentDiffusion(
