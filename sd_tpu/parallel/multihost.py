@@ -53,8 +53,8 @@ def initialize(
     JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID triple);
     bare single-host runs skip bring-up entirely.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized by the launcher
+    # NOTE: no jax calls before the env checks — jax.process_count() etc.
+    # initialize the XLA backend, after which distributed bring-up fails.
     env = os.environ
     coordinator_address = coordinator_address or env.get(
         "JAX_COORDINATOR_ADDRESS")
@@ -62,15 +62,26 @@ def initialize(
         num_processes = int(env["JAX_NUM_PROCESSES"])
     if process_id is None and env.get("JAX_PROCESS_ID"):
         process_id = int(env["JAX_PROCESS_ID"])
-    tpu_pod = env.get("TPU_WORKER_HOSTNAMES") or env.get("MEGASCALE_COORDINATOR_ADDRESS")
+    # a single-entry worker list is NOT a pod (the axon tunnel environment
+    # sets TPU_WORKER_HOSTNAMES=localhost on a one-host slice)
+    workers = [w for w in env.get("TPU_WORKER_HOSTNAMES", "").split(",") if w]
+    tpu_pod = len(workers) > 1 or env.get("MEGASCALE_COORDINATOR_ADDRESS")
     if coordinator_address is None and not tpu_pod:
         return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        local_device_ids=local_device_ids,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    except RuntimeError as e:
+        if jax.process_count() > 1:
+            return True  # already initialized by the launcher
+        # backend already initialized (e.g. a platform plugin touched the
+        # device at interpreter boot) — single-process fallback, not fatal
+        print(f"[multihost] distributed bring-up skipped: {e}")
+        return False
     return True
 
 
