@@ -61,6 +61,10 @@ def apply_conditioned(
     """
     kw = ({"control": cond["c_control"]}
           if cond is not None and "c_control" in cond else {})
+    if cond is not None and "c_ip" in cond:
+        # IP-Adapter image embedding (models/ip_adapter.py) — forwarded to
+        # an ip_apply_fn-wrapped unet_apply
+        kw["ip_embed"] = cond["c_ip"]
     if conditioning_key is None or cond is None:
         return unet_apply(params, x, t, None, **kw)
     if conditioning_key == "concat":
@@ -162,6 +166,9 @@ class LatentDiffusion:
         if "hint" in batch:  # ControlNet pixel-space control image
             cond = dict(cond or {})
             cond["c_control"] = batch["hint"]
+        if "ip_embed" in batch:  # IP-Adapter image-prompt embedding
+            cond = dict(cond or {})
+            cond["c_ip"] = batch["ip_embed"]
         return z, cond
 
     # -- model application ---------------------------------------------------

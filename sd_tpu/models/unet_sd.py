@@ -155,19 +155,22 @@ class UNetModel(nn.Module):
     freeu: tuple[float, float, float, float] | None = None
     dtype: jnp.dtype | None = None
 
-    def _attn(self, h, context, ds, name, deterministic):
+    def _attn(self, h, context, ds, name, deterministic, ip=None):
         ch = h.shape[-1]
         if self.num_head_channels == -1:
             heads, dim_head = self.num_heads, ch // self.num_heads
         else:
             heads, dim_head = ch // self.num_head_channels, self.num_head_channels
         if self.use_spatial_transformer:
+            ip_entry = None
+            if ip is not None and name in ip["layers"]:
+                ip_entry = (ip["layers"][name], ip["tokens"], ip["scale"])
             return SpatialTransformer(
                 heads=heads, dim_head=dim_head, depth=self.transformer_depth,
                 dropout=self.dropout, tome_ratio=self.tome_ratio,
                 tome_min_tokens=self.tome_min_tokens,
                 dtype=self.dtype, name=name,
-            )(h, context, deterministic=deterministic)
+            )(h, context, ip=ip_entry, deterministic=deterministic)
         return SelfAttentionBlock2D(
             num_heads=heads, num_head_channels=self.num_head_channels,
             dtype=self.dtype, name=name,
@@ -182,12 +185,18 @@ class UNetModel(nn.Module):
         y: jax.Array | None = None,        # [B] class labels (adm conditioning)
         *,
         control: Sequence[jax.Array] | None = None,
+        ip: dict | None = None,
         deterministic: bool = True,
     ) -> jax.Array:
         """`control`: ControlNet residuals (models/controlnet.py) — one per
         input-block output in order plus a final middle-block residual
         (len == len(hs) + 1); added to the skip connections and the middle
-        activation (Zhang et al., arXiv:2302.05543)."""
+        activation (Zhang et al., arXiv:2302.05543).
+
+        `ip`: IP-Adapter payload (models/ip_adapter.py) —
+        {"layers": {attn_name: {block_name: {to_k_ip, to_v_ip}}},
+        "tokens": [B, n, Cc], "scale": float}; routed into each
+        cross-attention as a decoupled image read (arXiv:2308.06721)."""
         mc = self.model_channels
         time_embed_dim = mc * 4
 
@@ -217,7 +226,7 @@ class UNetModel(nn.Module):
             for i in range(self.num_res_blocks):
                 h = res(h, mult * mc, f"in_{level}_{i}_res")
                 if ds in self.attention_resolutions:
-                    h = self._attn(h, context, ds, f"in_{level}_{i}_attn", deterministic)
+                    h = self._attn(h, context, ds, f"in_{level}_{i}_attn", deterministic, ip)
                 hs.append(h)
             if level != len(self.channel_mult) - 1:
                 if self.resblock_updown:
@@ -232,7 +241,7 @@ class UNetModel(nn.Module):
 
         # ---- middle -------------------------------------------------------
         h = res(h, h.shape[-1], "mid_res1")
-        h = self._attn(h, context, ds, "mid_attn", deterministic)
+        h = self._attn(h, context, ds, "mid_attn", deterministic, ip)
         h = res(h, h.shape[-1], "mid_res2")
 
         ctrl = list(control) if control is not None else None
@@ -253,7 +262,7 @@ class UNetModel(nn.Module):
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = res(h, mult * mc, f"out_{level}_{i}_res")
                 if ds in self.attention_resolutions:
-                    h = self._attn(h, context, ds, f"out_{level}_{i}_attn", deterministic)
+                    h = self._attn(h, context, ds, f"out_{level}_{i}_attn", deterministic, ip)
                 if level != 0 and i == self.num_res_blocks:
                     if self.resblock_updown:
                         h = res(h, h.shape[-1], f"out_{level}_up", up=True)

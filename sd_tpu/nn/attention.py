@@ -137,6 +137,7 @@ class CrossAttention(nn.Module):
         context: jax.Array | None = None,   # [B, M, Cc]
         mask: jax.Array | None = None,      # [B, M] bool — True = attend
         *,
+        ip_kv: tuple | None = None,         # (wk, wv, tokens, scale)
         deterministic: bool = True,
     ) -> jax.Array:
         from sd_tpu.kernels.attention import (hpacked_flash_attention,
@@ -158,6 +159,24 @@ class CrossAttention(nn.Module):
         cdt = self.dtype or jnp.result_type(x.dtype, jnp.float32)
         xc, cc = x.astype(cdt), ctx.astype(cdt)
 
+        # IP-Adapter decoupled cross-attention (models/ip_adapter.py): an
+        # extra attention read over projected image tokens with adapter-
+        # owned K/V, summed pre-output-projection (arXiv:2308.06721 eq. 5).
+        # Threaded as a REAL argument (not a ContextVar): remat re-traces
+        # module code during the backward pass, and only argument-carried
+        # values survive that re-trace with gradients intact.
+        ip = ip_kv if context is not None else None
+
+        def add_ip(out_bqhd, q_bqhd):
+            if ip is None:
+                return out_bqhd
+            wk_ip, wv_ip, tok, scale = ip
+            Mi = tok.shape[1]
+            k_i = (tok.astype(cdt) @ wk_ip.astype(cdt)).reshape(B, Mi, h, d)
+            v_i = (tok.astype(cdt) @ wv_ip.astype(cdt)).reshape(B, Mi, h, d)
+            extra = dot_product_attention(q_bqhd, k_i, v_i)
+            return out_bqhd + scale * extra.astype(out_bqhd.dtype)
+
         if (mask is None
                 and attn_probe.wants_capture(self.scope.path, N,
                                              is_self=context is None)):
@@ -174,6 +193,7 @@ class CrossAttention(nn.Module):
             self.sow("intermediates", attn_probe.SOW_NAME, probs)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
                              preferred_element_type=jnp.float32).astype(cdt)
+            out = add_ip(out, q)
             out = out.reshape(B, N, inner) @ wo.astype(cdt) + bo.astype(cdt)
             return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
@@ -216,6 +236,7 @@ class CrossAttention(nn.Module):
             out = out.astype(cdt)
         else:
             out = dot_product_attention(q, k, v)
+        out = add_ip(out, q)
         out = out.reshape(B, N, inner) @ wo.astype(cdt) + bo.astype(cdt)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
@@ -309,6 +330,7 @@ class BasicTransformerBlock(nn.Module):
         context: jax.Array | None = None,
         *,
         tome=None,  # (merge, unmerge) closures from nn/tome.py, or None
+        ip_kv: tuple | None = None,  # IP-Adapter (wk, wv, tokens, scale)
         deterministic: bool = True,
     ) -> jax.Array:
         if tome is not None:
@@ -328,7 +350,8 @@ class BasicTransformerBlock(nn.Module):
             )(LayerNorm32(name="norm1")(x), deterministic=deterministic)
         x = x + CrossAttention(
             self.heads, self.dim_head, self.dropout, dtype=self.dtype, name="attn2"
-        )(LayerNorm32(name="norm2")(x), context, deterministic=deterministic)
+        )(LayerNorm32(name="norm2")(x), context, ip_kv=ip_kv,
+          deterministic=deterministic)
         x = x + FeedForwardGEGLU(
             dropout=self.dropout, glu=self.gated_ff, dtype=self.dtype, name="ff"
         )(LayerNorm32(name="norm3")(x), deterministic=deterministic)
@@ -353,6 +376,7 @@ class SpatialTransformer(nn.Module):
         x: jax.Array,                      # [B, H, W, C]
         context: jax.Array | None = None,  # [B, M, Cc]
         *,
+        ip=None,  # IP-Adapter ({block_name: {to_k_ip, to_v_ip}}, tok, scale)
         deterministic: bool = True,
     ) -> jax.Array:
         B, H, W, C = x.shape
@@ -370,10 +394,15 @@ class SpatialTransformer(nn.Module):
                 built = build_tome(h, H, W, self.tome_ratio)
                 if built is not None:
                     tome = (built[0], built[1])
+            ip_kv = None
+            if ip is not None and f"block_{i}" in ip[0]:
+                entry = ip[0][f"block_{i}"]
+                ip_kv = (entry["to_k_ip"], entry["to_v_ip"], ip[1], ip[2])
             h = BasicTransformerBlock(
                 self.heads, self.dim_head, self.dropout,
                 dtype=self.dtype, name=f"block_{i}",
-            )(h, context, tome=tome, deterministic=deterministic)
+            )(h, context, tome=tome, ip_kv=ip_kv,
+              deterministic=deterministic)
         h = h.reshape(B, H, W, inner)
         h = nn.Conv(
             C, (1, 1),

@@ -46,6 +46,8 @@ class Text2ImagePipeline:
         self.controlnet = None        # set by load_controlnet()
         self.cn_params = None
         self.control_scale = 1.0
+        self.ip_params = None         # set by load_ip_adapter()
+        self.ip_scale = 1.0
         self._rebind_first_stage()
 
     def _ld_with_first_stage(self, vae_params=None):
@@ -252,6 +254,35 @@ class Text2ImagePipeline:
             lambda x: x.astype(self.param_dtype)
             if self.param_dtype is not None else x, lora)
         self.unet_params = merge_lora(self.unet_params, lora, scale)
+        self._jitted = {}
+
+    def load_ip_adapter(self, run_dir: str, ip_scale: float = 1.0) -> None:
+        """Attach a trained IP-Adapter (models/ip_adapter.py,
+        arXiv:2308.06721) for image-prompt generation. `run_dir` is the
+        training-run directory (train_ldm with an `ip_adapter:` config
+        block): the adapter tree loads from its ckpt (EMA preferred) and
+        the FROZEN image embedder from its `ip_embedder` save, so serving
+        embeds identically to training. Subsequent
+        `generate(ip_image=...)` calls condition on the image; calls
+        without one are bitwise-unchanged."""
+        import os
+
+        from sd_tpu.models.conditioners import FrozenClipImageEmbedder
+        from sd_tpu.train.checkpoint import restore_pytree
+
+        tree = restore_pytree(os.path.join(run_dir, "ckpt"))
+        ema = tree.get("ema")
+        ip = (ema["shadow"] if isinstance(ema, dict)
+              and ema.get("shadow") is not None else tree["params"])
+        if self.param_dtype is not None:
+            ip = jax.tree.map(
+                lambda x: x.astype(self.param_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, ip)
+        self.ip_params = ip
+        self.ip_scale = float(ip_scale)
+        self._ip_embedder = FrozenClipImageEmbedder()
+        self._ip_embedder_params = restore_pytree(
+            os.path.join(run_dir, "ip_embedder"))
         self._jitted = {}
 
     def load_controlnet(self, source, control_scale: float = 1.0) -> None:
@@ -490,20 +521,23 @@ class Text2ImagePipeline:
                  clip_skip: int | None = None,
                  vae_tile: int | None = None,
                  controlled: bool = False,
-                 sag_scale: float = 0.0):
+                 sag_scale: float = 0.0,
+                 use_ip: bool = False):
         lat = self.cfg["latent"]
         if latent_hw is None:
             latent_hw = (lat["image_size"], lat["image_size"])
         key = (batch, steps, guidance_scale, eta, sampler, guidance_rescale,
                latent_hw, clip_skip, vae_tile,
-               (self.control_scale if controlled else None), sag_scale)
+               (self.control_scale if controlled else None), sag_scale,
+               (self.ip_scale if use_ip else None))
         if key in self._jitted:
             return self._jitted[key]
 
         shape = (batch, latent_hw[0], latent_hw[1], lat["channels"])
 
         def program(unet_params, vae_params, clip_params, ids, neg_ids,
-                    wts, neg_wts, rng, cn_params=None, hint=None):
+                    wts, neg_wts, rng, cn_params=None, hint=None,
+                    ip_params=None, ip_embed=None):
             from sd_tpu.utils.prompt_weights import apply_prompt_weights
 
             c = self.clip.encode(clip_params, ids, clip_skip=clip_skip)
@@ -528,6 +562,19 @@ class Text2ImagePipeline:
                 params = {"unet": unet_params, "controlnet": cn_params}
                 cond["c_control"] = hint
                 uncond["c_control"] = hint
+            if use_ip:
+                # IP-Adapter image prompt: the unconditional CFG branch gets
+                # the ZERO embedding — the image-free state the adapter was
+                # trained with at `image_dropout` (models/ip_adapter.py)
+                import dataclasses as _dc
+
+                from sd_tpu.models.ip_adapter import ip_apply_fn
+
+                ld = _dc.replace(ld, unet_apply=ip_apply_fn(
+                    self.unet, self.ip_scale))
+                params = {"unet": unet_params, "ip": ip_params}
+                cond["c_ip"] = ip_embed
+                uncond["c_ip"] = jnp.zeros_like(ip_embed)
             z = ld.sample(
                 params, rng, shape,
                 cond=cond, uncond=uncond,
@@ -562,6 +609,7 @@ class Text2ImagePipeline:
         decode_tile: int | None = None,
         control_image=None,
         sag_scale: float = 0.0,
+        ip_image=None,
     ) -> np.ndarray:
         """prompts → uint8 images [B, H, W, 3]. sampler: "ddim", "dpm"
         (DPM-Solver++(2M): ~15 steps ≈ DDIM-50 quality), "dpm_sde"
@@ -598,6 +646,27 @@ class Text2ImagePipeline:
         if sag_scale > 0.0 and control_image is not None:
             raise ValueError("sag_scale and control_image cannot combine: "
                              "the SAG probe pass has no control branch")
+        if ip_image is not None and control_image is not None:
+            raise ValueError("ip_image and control_image cannot combine "
+                             "(one params wrapper each); pick one")
+        use_ip = ip_image is not None
+        ip_embed = None
+        if use_ip:
+            if self.ip_params is None:
+                raise ValueError("call load_ip_adapter() before passing "
+                                 "ip_image")
+            x = self._to_model_range(ip_image)
+            if x.ndim == 3:
+                x = x[None]
+            if x.shape[0] == 1 and len(prompts) > 1:
+                x = jnp.broadcast_to(x, (len(prompts),) + x.shape[1:])
+            if not hasattr(self, "_ip_embed_fn"):
+                self._ip_embed_fn = jax.jit(
+                    lambda p, img: self._ip_embedder.apply({"params": p},
+                                                           img))
+            ip_embed = self._ip_embed_fn(self._ip_embedder_params, x)
+            if self.param_dtype is not None:
+                ip_embed = ip_embed.astype(self.param_dtype)
         if isinstance(negative_prompt, str):
             negative_prompt = [negative_prompt] * len(prompts)
         elif len(negative_prompt) != len(prompts):
@@ -631,7 +700,8 @@ class Text2ImagePipeline:
                            vae_tile=(None if decode_tile is None
                                      else max(1, decode_tile
                                               // self._vae_factor())),
-                           controlled=controlled, sag_scale=sag_scale)
+                           controlled=controlled, sag_scale=sag_scale,
+                           use_ip=use_ip)
         ids, neg, rng = self._place_inputs(ids, neg, jax.random.PRNGKey(seed))
         wts, neg_wts = self._place_batched(wts, neg_wts)
         if controlled:
@@ -639,6 +709,11 @@ class Text2ImagePipeline:
             img = fn(self.unet_params, self.vae_params, self.clip.params,
                      ids, neg, wts, neg_wts, rng,
                      cn_params=self.cn_params, hint=hint)
+        elif use_ip:
+            (ip_embed,) = self._place_batched(ip_embed)
+            img = fn(self.unet_params, self.vae_params, self.clip.params,
+                     ids, neg, wts, neg_wts, rng,
+                     ip_params=self.ip_params, ip_embed=ip_embed)
         else:
             img = fn(self.unet_params, self.vae_params, self.clip.params,
                      ids, neg, wts, neg_wts, rng)

@@ -44,7 +44,12 @@ from typing import Any
 import numpy as np
 
 ALLOWED_SAMPLERS = ("ddim", "dpm", "dpm_sde", "unipc", "plms", "euler",
-                    "euler_a", "heun", "ddpm")
+                    "euler_a", "heun", "ddpm",
+                    # few-step consistency students (train/distill.py) and
+                    # flow-matching models (diffusion/flow.py) — the
+                    # model-family guards in LatentDiffusion.sample reject
+                    # a mismatched request with a clear error
+                    "lcm", "flow", "flow_midpoint")
 
 
 def _png_b64(img: np.ndarray) -> str:

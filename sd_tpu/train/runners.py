@@ -476,8 +476,10 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
 
     lora_cfg = cfg.get("lora")
     cn_cfg = cfg.get("controlnet")
-    if lora_cfg and cn_cfg:
-        raise ValueError("lora and controlnet training are exclusive")
+    ip_cfg = cfg.get("ip_adapter")
+    if sum(map(bool, (lora_cfg, cn_cfg, ip_cfg))) > 1:
+        raise ValueError("lora / controlnet / ip_adapter training are "
+                         "mutually exclusive")
     if cn_cfg:
         # ControlNet training (arXiv:2302.05543, beyond-reference): the
         # base UNet/VAE/CLIP are frozen closure constants; the optimizer/
@@ -547,6 +549,86 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
                                           [""] * len(batch["image"])))
             out["txt_emb"] = clip(texts)
             out["hint"] = jnp.asarray(hint_fn(np.asarray(batch["image"])))
+            return out
+    elif ip_cfg:
+        # IP-Adapter training (arXiv:2308.06721, beyond-reference): base
+        # UNet/VAE frozen; the optimizer/EMA/checkpoint state is the
+        # adapter tree (projector + per-layer K/V). The image prompt during
+        # training is the target image's own CLIP embedding (the paper's
+        # recipe), randomly zeroed at `image_dropout` for CFG-style
+        # image-free operation.
+        if cond_trainable:
+            raise ValueError("ip_adapter and cond_stage.trainable are "
+                             "exclusive")
+        from sd_tpu.models.conditioners import FrozenClipImageEmbedder
+        from sd_tpu.models.ip_adapter import (
+            count_ip_params,
+            init_ip_adapter,
+            ip_apply_fn,
+        )
+
+        if ip_cfg.get("base_run"):
+            from sd_tpu.train.checkpoint import restore_pytree
+
+            base_dir = ip_cfg["base_run"]
+            if os.path.isdir(os.path.join(base_dir, "ckpt")):
+                base_dir = os.path.join(base_dir, "ckpt")
+            tree = restore_pytree(base_dir)
+            ema_t = tree.get("ema")
+            loaded = (ema_t["shadow"] if isinstance(ema_t, dict)
+                      and ema_t.get("shadow") is not None
+                      else tree["params"])
+            uparams = jax.tree.map(lambda s, p: jnp.asarray(s, p.dtype),
+                                   loaded, uparams)
+            ld = apply_calibration(ld, cfg, base_dir)
+            print(f"[ldm] ip_adapter base UNet loaded from {base_dir}")
+
+        embedder = FrozenClipImageEmbedder()
+        pix = cfg["train"].get("image_size", 256)
+        emb_params = embedder.init(
+            jax.random.PRNGKey(cfg.get("seed", 0) ^ 0x1BAD),
+            jnp.zeros((1, pix, pix, 3)))["params"]
+        # persist the frozen embedder so serving embeds identically
+        # (pipeline.load_ip_adapter restores it by directory)
+        from sd_tpu.train.checkpoint import save_checkpoint as _save_ckpt
+
+        os.makedirs(out_dir, exist_ok=True)
+        _save_ckpt(os.path.join(out_dir, "ip_embedder"), emb_params, 0,
+                   max_to_keep=1)
+        embed_image = jax.jit(
+            lambda img: embedder.apply({"params": emb_params}, img))
+        embed_dim = int(embed_image(jnp.zeros((1, pix, pix, 3))).shape[-1])
+
+        base_uparams = uparams
+        train_params = init_ip_adapter(
+            uparams, jax.random.PRNGKey(cfg.get("seed", 0) ^ 0x1BAD1),
+            embed_dim=embed_dim, n_tokens=int(ip_cfg.get("n_tokens", 4)))
+        print(f"[ldm] ip_adapter: {count_ip_params(train_params)/1e6:.2f}M "
+              f"trainable params over {len(train_params['layers'])} "
+              f"cross-attn layers (base frozen: "
+              f"{count_params(uparams)/1e6:.1f}M)")
+        ld = _dc.replace(
+            ld, unet_apply=ip_apply_fn(unet,
+                                       float(ip_cfg.get("scale", 1.0))))
+        img_dropout = float(ip_cfg.get("image_dropout", 0.05))
+        _ip_rng = np.random.default_rng((cfg.get("seed", 0), 0x1BAD2))
+
+        def loss_fn(p, batch, rng, logvar):
+            return ld.training_loss({"unet": base_uparams, "ip": p},
+                                    batch, rng, learned_logvar=logvar)
+
+        def embed_batch(batch):
+            out = {"image": jnp.asarray(batch["image"])}
+            texts = _drop_texts(batch.get("txt_raw",
+                                          [""] * len(batch["image"])))
+            out["txt_emb"] = clip(texts)
+            emb = embed_image(out["image"])
+            if img_dropout > 0.0:
+                keep = jnp.asarray(
+                    _ip_rng.random(emb.shape[0]) >= img_dropout,
+                    emb.dtype)[:, None]
+                emb = emb * keep
+            out["ip_embed"] = emb
             return out
     elif lora_cfg:
         # LoRA fine-tuning (arXiv:2106.09685, beyond-reference): the base
