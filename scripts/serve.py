@@ -43,6 +43,9 @@ def main() -> None:
                     help="ToMe token-merge ratio (0 = off; ~0.5 typical)")
     ap.add_argument("--freeu", default=None,
                     help='FreeU "b1,b2,s1,s2" (e.g. "1.2,1.4,0.9,0.2")')
+    ap.add_argument("--watermark", default=None,
+                    help="invisible provenance mark on every output "
+                         "(utils/watermark.py; verify_watermark to check)")
     args = ap.parse_args()
 
     from sd_tpu.pipeline import Text2ImagePipeline
@@ -73,6 +76,7 @@ def main() -> None:
         batch_window_ms=args.batch_window_ms,
         default_steps=args.steps,
         default_sampler=args.sampler,
+        watermark=args.watermark,
     )
     batcher.start()
     server = make_http_server(batcher, host=args.host, port=args.port)

@@ -610,6 +610,9 @@ class Text2ImagePipeline:
         control_image=None,
         sag_scale: float = 0.0,
         ip_image=None,
+        watermark: str | None = None,
+        watermark_bits: int = 48,
+        watermark_key: int = 0,
     ) -> np.ndarray:
         """prompts → uint8 images [B, H, W, 3]. sampler: "ddim", "dpm"
         (DPM-Solver++(2M): ~15 steps ≈ DDIM-50 quality), "dpm_sde"
@@ -718,7 +721,16 @@ class Text2ImagePipeline:
             img = fn(self.unet_params, self.vae_params, self.clip.params,
                      ids, neg, wts, neg_wts, rng)
         img = np.asarray(img.astype(jnp.float32))
-        return np.clip((img + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        out = np.clip((img + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        if watermark is not None:
+            # blind invisible DCT watermark (utils/watermark.py) — the
+            # production-serving provenance mark; host-side post-decode
+            from sd_tpu.utils.watermark import embed_watermark, str_to_bits
+
+            bits = str_to_bits(watermark, watermark_bits)
+            out = np.stack([embed_watermark(o, bits, key=watermark_key)
+                            for o in out])
+        return out
 
     # -- img2img / inpainting --------------------------------------------------
 

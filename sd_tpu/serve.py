@@ -111,8 +111,12 @@ class BatchingServer:
         default_guidance: float = 7.5,
         queue_limit: int = 64,
         request_timeout_s: float = 600.0,
+        watermark: str | None = None,
     ):
         self.pipeline = pipeline
+        # server-wide provenance mark (utils/watermark.py); applied to
+        # every generated image when set — not a per-request knob
+        self.watermark = watermark
         self.max_batch = int(max_batch)
         self.batch_window_s = float(batch_window_ms) / 1e3
         self.default_steps = int(default_steps)
@@ -256,6 +260,8 @@ class BatchingServer:
                        if params["sampler"] == "ddim" else {}),
                     **({"sag_scale": params["sag_scale"]}
                        if params.get("sag_scale", 0.0) > 0.0 else {}),
+                    **({"watermark": self.watermark}
+                       if self.watermark else {}),
                 )
                 for i, r in enumerate(group):
                     r.image = np.asarray(imgs[i])
