@@ -100,8 +100,16 @@ def distill_ldm(config: dict | str, data_dir: str,
           timestep_scaling: 10.0
           target_ema_decay: 0.95           # consistency target network
           sample_steps: 2                  # eval-grid sampling budget
+          lora_rank: null                  # set (e.g. 64) for LCM-LoRA
     `train.ema_decay` is OVERRIDDEN by target_ema_decay: the state's EMA is
-    the target network here, not an eval-smoothing shadow."""
+    the target network here, not an eval-smoothing shadow.
+
+    LCM-LoRA (arXiv:2311.05556): with `lora_rank` set, only rank-r factors
+    over the attention projections train — the distilled "acceleration
+    module" is a few MB, serves via the ordinary LoRA path
+    (`Text2ImagePipeline.from_run(teacher) → load_lora(student_run) →
+    generate(sampler="lcm", num_steps=2-4)`), and also lands as
+    `lora.safetensors` in the run dir."""
     cfg = load_yaml(config) if isinstance(config, str) else config
     tc = cfg["train"]
     dc = cfg["distill"]
@@ -119,12 +127,34 @@ def distill_ldm(config: dict | str, data_dir: str,
             "finish train_ldm first")
 
     teacher_params = load_teacher_params(cfg, teacher_run, uparams)
-    # student starts at the teacher — as a COPY: the train step donates the
-    # state, and donation would invalidate the teacher closure's buffers if
-    # they were shared
-    student_params = jax.tree.map(jnp.copy, teacher_params)
-    print(f"[distill] student params: {count_params(student_params)/1e6:.1f}M "
-          f"(init from {teacher_run} EMA)")
+    lora_rank = dc.get("lora_rank")
+    if lora_rank:
+        # LCM-LoRA: the student IS the teacher plus trainable rank-r
+        # factors (b=0 ⇒ step 0 is exactly the teacher)
+        from sd_tpu.train.lora import count_lora_params, init_lora, merge_lora
+
+        student_params = init_lora(
+            teacher_params, int(lora_rank),
+            jax.random.PRNGKey(cfg.get("seed", 0) ^ 0x1C31),
+            dc.get("lora_targets"))
+        print(f"[distill] LCM-LoRA rank {lora_rank}: "
+              f"{count_lora_params(student_params)/1e3:.1f}K trainable "
+              f"factors over frozen "
+              f"{count_params(teacher_params)/1e6:.1f}M teacher")
+
+        def student_model_fn(p):
+            return ld.model_fn(merge_lora(teacher_params, p))
+    else:
+        # student starts at the teacher — as a COPY: the train step donates
+        # the state, and donation would invalidate the teacher closure's
+        # buffers if they were shared
+        student_params = jax.tree.map(jnp.copy, teacher_params)
+        print(f"[distill] student params: "
+              f"{count_params(student_params)/1e6:.1f}M "
+              f"(init from {teacher_run} EMA)")
+
+        def student_model_fn(p):
+            return ld.model_fn(p)
 
     distiller = ConsistencyDistiller(
         schedule=ld.schedule,
@@ -144,7 +174,7 @@ def distill_ldm(config: dict | str, data_dir: str,
             b = z0.shape[0]
             uncond = {"c_crossattn": [jnp.tile(uncond_emb, (b, 1, 1))]}
         return distiller.distill_loss(
-            ld.model_fn(p), ld.model_fn(target_p),
+            student_model_fn(p), student_model_fn(target_p),
             ld.model_fn(teacher_params),
             z0, r_cd, cond=cond, uncond=uncond, guidance_scale=w)
 
@@ -167,7 +197,7 @@ def distill_ldm(config: dict | str, data_dir: str,
         params = ema_eval_params(st)
         emb = clip([""] * 4)
         z = distiller.sample(
-            ld.model_fn(params), s_rng,
+            student_model_fn(params), s_rng,
             (4, lat["image_size"], lat["image_size"], lat["channels"]),
             num_steps=n_eval_steps, cond={"c_crossattn": [emb]})
         return ld.decode_first_stage(z)
@@ -175,4 +205,13 @@ def distill_ldm(config: dict | str, data_dir: str,
     state = _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
                       max_steps=max_steps, sampler=sampler,
                       batch_transform=embed_batch)
+    if lora_rank:
+        # distribution artifact: the portable LCM-LoRA acceleration module
+        from sd_tpu.train.lora import save_lora_safetensors
+
+        save_lora_safetensors(
+            os.path.join(out_dir, "lora.safetensors"),
+            ema_eval_params(state),
+            metadata={"rank": str(lora_rank), "kind": "lcm-lora",
+                      "teacher_run": str(teacher_run)})
     return state

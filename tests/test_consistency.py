@@ -223,18 +223,17 @@ def test_distill_analytic_gaussian(sched):
             f"S={num_steps} std {got_std} vs {std}"
 
 
-def test_distill_ldm_runner(tmp_path):
-    """End-to-end runner smoke: train a tiny LDM teacher, then distill it;
-    checkpoints, metrics, and the few-step eval grid all land."""
-    import os
-
+@pytest.fixture(scope="module")
+def teacher_run(tmp_path_factory):
+    """A tiny trained LDM teacher + its image dir, shared by the distill
+    runner tests."""
     from PIL import Image
 
     from sd_tpu.core.config import load_yaml
-    from sd_tpu.train.distill import distill_ldm
     from sd_tpu.train.runners import train_ldm
 
-    d = tmp_path / "imgs"
+    root = tmp_path_factory.mktemp("distill")
+    d = root / "imgs"
     d.mkdir()
     rng = np.random.default_rng(0)
     for i in range(4):
@@ -246,18 +245,68 @@ def test_distill_ldm_runner(tmp_path):
     teacher_cfg["train"]["total_steps"] = 2
     teacher_cfg["train"]["checkpoint_every"] = 2
     teacher_cfg["train"]["eval_every"] = 100
-    train_ldm(teacher_cfg, str(d), out_dir=str(tmp_path / "teacher"))
+    train_ldm(teacher_cfg, str(d), out_dir=str(root / "teacher"))
+    return str(root / "teacher"), str(d)
 
+
+def test_distill_ldm_runner(teacher_run, tmp_path):
+    """End-to-end runner smoke: distill the tiny teacher; checkpoints,
+    metrics, and the few-step eval grid all land."""
+    import os
+
+    from sd_tpu.core.config import load_yaml
+    from sd_tpu.train.distill import distill_ldm
+
+    teacher, d = teacher_run
     cfg = load_yaml("configs/distill_smoke.yaml")
-    cfg["distill"]["teacher_run"] = str(tmp_path / "teacher")
+    cfg["distill"]["teacher_run"] = teacher
     cfg["train"]["total_steps"] = 2
     cfg["train"]["checkpoint_every"] = 2
     cfg["train"]["eval_every"] = 2  # exercise the few-step eval sampler
-    state = distill_ldm(cfg, str(d), out_dir=str(tmp_path / "student"))
+    state = distill_ldm(cfg, d, out_dir=str(tmp_path / "student"))
     assert int(state.step) == 2
     assert os.path.isdir(tmp_path / "student" / "ckpt")
     assert os.path.exists(tmp_path / "student" / "metrics.jsonl")
     assert os.path.exists(tmp_path / "student" / "samples" / "step_2.png")
+
+
+def test_lcm_lora_runner(teacher_run, tmp_path):
+    """LCM-LoRA (arXiv:2311.05556): distill into rank-r factors; the
+    artifact serves through the ordinary LoRA merge + lcm sampler."""
+    import os
+
+    from sd_tpu.core.config import load_yaml
+    from sd_tpu.train.distill import distill_ldm
+    from sd_tpu.train.lora import load_lora_safetensors, merge_lora
+    from sd_tpu.train.runners import build_ldm
+
+    teacher, d = teacher_run
+    cfg = load_yaml("configs/distill_smoke.yaml")
+    cfg["distill"]["teacher_run"] = teacher
+    cfg["distill"]["lora_rank"] = 4
+    cfg["train"]["total_steps"] = 2
+    cfg["train"]["checkpoint_every"] = 2
+    cfg["train"]["eval_every"] = 100
+    state = distill_ldm(cfg, d, out_dir=str(tmp_path / "lcm_lora"))
+    # the trained state is the FACTOR tree, not full weights
+    leaf_names = set()
+    for v in state.params.values():
+        leaf_names |= set(v.keys())
+    assert leaf_names == {"a", "b"}
+    art = tmp_path / "lcm_lora" / "lora.safetensors"
+    assert art.exists()
+
+    # serve: merge the factors over the teacher and run the lcm sampler
+    import jax
+
+    ld, unet, uparams, *_ = build_ldm(cfg, jax.random.PRNGKey(0))
+    factors = load_lora_safetensors(str(art))
+    merged = merge_lora(uparams, factors, 1.0)
+    cond = {"c_crossattn": [jnp.zeros((1, 4, 32))]}  # context_dim=32
+    out = ld.sample(merged, jax.random.PRNGKey(1), (1, 8, 8, 4),
+                    sampler="lcm", num_steps=2, decode=False,
+                    num_boundaries=10, cond=cond)
+    assert out.shape == (1, 8, 8, 4)
 
 
 def test_latent_sample_lcm_route(sched):
