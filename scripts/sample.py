@@ -25,11 +25,15 @@ def main():
                     help="text prompt(s) (ldm task; ignored for task: ddpm)")
     ap.add_argument("--sampler", default=None,
                     choices=["ddpm", "ddim", "dpm", "dpm_sde", "unipc", "plms",
-                             "euler", "euler_a", "heun"],
+                             "euler", "euler_a", "heun", "lcm", "flow",
+                             "flow_midpoint"],
                     help="ddpm task: ancestral (default) or ddim; ldm task: "
                          "ddim (default), dpm (DPM-Solver++(2M) — ~15 steps "
                          "for DDIM-50 quality), unipc (predictor-corrector, "
-                         "best at 5-10 steps), plms, or euler/euler_a/heun")
+                         "best at 5-10 steps), plms, euler/euler_a/heun, "
+                         "lcm (consistency-distilled students, 1-4 steps), "
+                         "or flow/flow_midpoint (flow-matching models — "
+                         "the default when diffusion.type: flow)")
     ap.add_argument("--negative-prompt", default="")
     ap.add_argument("--ckpt", default=None, help="checkpoint dir (else random init)")
     ap.add_argument("--out", default="samples.png")
@@ -48,6 +52,13 @@ def main():
     ap.add_argument("--controlnet", default=None,
                     help="ControlNet training-run dir (ldm task): run the "
                          "controlled UNet (arXiv:2302.05543)")
+    ap.add_argument("--ip-adapter", default=None,
+                    help="IP-Adapter training-run dir (ldm task): image-"
+                         "prompt conditioning (arXiv:2308.06721); needs "
+                         "--ip-image")
+    ap.add_argument("--ip-image", default=None,
+                    help="image prompt file for --ip-adapter")
+    ap.add_argument("--ip-scale", type=float, default=1.0)
     ap.add_argument("--control-image", default=None,
                     help="conditioning image for --controlnet; by default "
                          "edge_hint() extracts edges from it first")
@@ -161,6 +172,37 @@ def main():
         uparams = {"unet": uparams, "controlnet": cn_params}
         cond["c_control"] = hint
         uncond["c_control"] = hint
+
+    if args.ip_adapter:
+        # IP-Adapter image prompting (models/ip_adapter.py): adapter from
+        # its training run + the run's frozen image embedder; the CFG
+        # uncond branch gets the zero embedding (the trained image-free
+        # state)
+        import dataclasses as _dc
+
+        from PIL import Image
+
+        from sd_tpu.models.conditioners import FrozenClipImageEmbedder
+        from sd_tpu.models.ip_adapter import ip_apply_fn
+        from sd_tpu.train.checkpoint import restore_pytree
+
+        if not args.ip_image:
+            raise SystemExit("--ip-adapter needs --ip-image")
+        tree = restore_pytree(os.path.join(args.ip_adapter, "ckpt"))
+        ema_t = tree.get("ema")
+        ip_params = (ema_t["shadow"] if isinstance(ema_t, dict)
+                     and ema_t.get("shadow") is not None else tree["params"])
+        emb_params = restore_pytree(
+            os.path.join(args.ip_adapter, "ip_embedder"))
+        im = np.asarray(Image.open(args.ip_image).convert("RGB"),
+                        np.float32) / 127.5 - 1.0
+        emb = FrozenClipImageEmbedder().apply(
+            {"params": emb_params}, jnp.asarray(im)[None])
+        emb = jnp.broadcast_to(emb, (len(prompts),) + emb.shape[1:])
+        ld = _dc.replace(ld, unet_apply=ip_apply_fn(unet, args.ip_scale))
+        uparams = {"unet": uparams, "ip": ip_params}
+        cond["c_ip"] = emb
+        uncond["c_ip"] = jnp.zeros_like(emb)
 
     sampler = args.sampler or (
         "flow" if getattr(ld.process, "is_flow", False)
