@@ -208,6 +208,61 @@ class ConsistencyDistiller:
 
     # -- training loss ---------------------------------------------------------
 
+    def draw_pair(
+        self,
+        teacher_fn: ModelFn,
+        z0: jax.Array,
+        rng: jax.Array,
+        cond: Any = None,
+        uncond: Any = None,
+        guidance_scale: float = 1.0,
+    ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        """The gradient-free half of the distillation step: draw a boundary
+        pair, noise z0 to z_{t_hi}, run the teacher one solver step down.
+        Returns (z_hi, z_lo, t_hi, t_lo) — all stop-gradient.
+
+        Split out so the teacher's forward can compile as its OWN program:
+        the combined teacher+student+target+backward graph can exceed a
+        remote compiler's program-size limits (seen as HTTP 413 on the
+        tunneled-TPU environment)."""
+        b = z0.shape[0]
+        ts = jnp.asarray(self.boundaries)
+        rng_i, rng_n = jax.random.split(rng)
+        i = jax.random.randint(rng_i, (b,), 1, ts.shape[0])
+        t_hi, t_lo = ts[i], ts[i - 1]
+        noise = jax.random.normal(rng_n, z0.shape, jnp.float32)
+        z_hi = self.schedule.q_sample(z0, t_hi, noise)
+        z_lo = self.teacher_step(teacher_fn, z_hi, t_hi, t_lo, cond=cond,
+                                 uncond=uncond,
+                                 guidance_scale=guidance_scale)
+        return (jax.lax.stop_gradient(z_hi), jax.lax.stop_gradient(z_lo),
+                t_hi, t_lo)
+
+    def student_loss(
+        self,
+        student_fn: ModelFn,
+        target_fn: ModelFn,
+        z_hi: jax.Array,
+        z_lo: jax.Array,
+        t_hi: jax.Array,
+        t_lo: jax.Array,
+        cond: Any = None,
+    ) -> tuple[jax.Array, dict]:
+        """The gradient-carrying half: pull f_θ(z_hi, t_hi) toward the
+        frozen target's f⁻(z_lo, t_lo)."""
+        f_student = self.consistency_fn(student_fn, z_hi, t_hi, cond)
+        f_target = jax.lax.stop_gradient(
+            self.consistency_fn(target_fn, z_lo, t_lo, cond))
+        loss = pseudo_huber(f_student, f_target, self.huber_c)
+        logs = {
+            "loss": loss,
+            "t_hi_mean": jnp.mean(t_hi.astype(jnp.float32)),
+            "f_gap": jnp.mean(jnp.abs(
+                f_student.astype(jnp.float32)
+                - f_target.astype(jnp.float32))),
+        }
+        return loss, logs
+
     def distill_loss(
         self,
         student_fn: ModelFn,
@@ -224,33 +279,14 @@ class ConsistencyDistiller:
         Draw a boundary pair (t_lo, t_hi), noise z0 to z_{t_hi}, run the
         teacher one solver step down to ẑ_{t_lo}, and pull the student's
         f(z_{t_hi}, t_hi) toward the FROZEN target network's
-        f⁻(ẑ_{t_lo}, t_lo) (LCM Algorithm 1)."""
-        b = z0.shape[0]
-        ts = jnp.asarray(self.boundaries)  # [N+1] ascending, ts[0]=0
-        rng_i, rng_n = jax.random.split(rng)
-        i = jax.random.randint(rng_i, (b,), 1, ts.shape[0])
-        t_hi = ts[i]
-        t_lo = ts[i - 1]
-
-        noise = jax.random.normal(rng_n, z0.shape, jnp.float32)
-        z_hi = self.schedule.q_sample(z0, t_hi, noise)
-
-        z_lo = jax.lax.stop_gradient(self.teacher_step(
-            teacher_fn, z_hi, t_hi, t_lo, cond=cond, uncond=uncond,
-            guidance_scale=guidance_scale))
-
-        f_student = self.consistency_fn(student_fn, z_hi, t_hi, cond)
-        f_target = jax.lax.stop_gradient(
-            self.consistency_fn(target_fn, z_lo, t_lo, cond))
-
-        loss = pseudo_huber(f_student, f_target, self.huber_c)
-        logs = {
-            "loss": loss,
-            "t_hi_mean": jnp.mean(t_hi.astype(jnp.float32)),
-            "f_gap": jnp.mean(jnp.abs(
-                f_student.astype(jnp.float32) - f_target.astype(jnp.float32))),
-        }
-        return loss, logs
+        f⁻(ẑ_{t_lo}, t_lo) (LCM Algorithm 1). One-graph composition of
+        draw_pair + student_loss (the trainer compiles the halves
+        separately — see draw_pair)."""
+        z_hi, z_lo, t_hi, t_lo = self.draw_pair(
+            teacher_fn, z0, rng, cond=cond, uncond=uncond,
+            guidance_scale=guidance_scale)
+        return self.student_loss(student_fn, target_fn, z_hi, z_lo,
+                                 t_hi, t_lo, cond)
 
     # -- few-step sampling -------------------------------------------------------
 

@@ -56,18 +56,23 @@ def load_teacher_params(cfg: dict, teacher_run: str, template: PyTree) -> PyTree
 
 
 def make_consistency_train_step(loss_fn, optimizer: optax.GradientTransformation,
-                                jit: bool = True):
+                                prep_fn=None, jit: bool = True):
     """(state, batch, rng) -> (state, logs) where
-    loss_fn(params, target_params, batch, rng) -> (loss, logs) and
+    loss_fn(params, target_params, prepped, rng) -> (loss, logs) and
     target_params is the state's EMA shadow — updated AFTER the gradient
-    step, per the consistency-distillation two-timescale recipe."""
+    step, per the consistency-distillation two-timescale recipe.
 
-    def train_step(state: TrainState, batch, rng: jax.Array):
-        rng = jax.random.fold_in(rng, state.step)
+    prep_fn(batch, rng) -> prepped (optional) runs the gradient-free work
+    (first-stage encode + teacher solver step) as its OWN jitted program:
+    one combined teacher+student+target+backward graph can exceed a remote
+    compiler's program-size limit (HTTP 413 on the tunneled-TPU env), and
+    the split costs nothing — the teacher output is stop-gradient anyway.
+    Without prep_fn, `prepped` is the raw batch."""
+
+    def train_step(state: TrainState, prepped, rng: jax.Array):
         target = state.ema.shadow
-
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, target, batch, rng)
+            state.params, target, prepped, rng)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
@@ -83,7 +88,20 @@ def make_consistency_train_step(loss_fn, optimizer: optax.GradientTransformation
         with training_trace():
             return train_step(*args, **kw)
 
-    return jax.jit(traced_step, donate_argnums=(0,)) if jit else traced_step
+    step = jax.jit(traced_step, donate_argnums=(0,)) if jit else traced_step
+    if prep_fn is None:
+        def one_phase_step(state: TrainState, batch, rng: jax.Array):
+            return step(state, batch, jax.random.fold_in(rng, state.step))
+
+        return one_phase_step
+    prep = jax.jit(prep_fn) if jit else prep_fn
+
+    def two_phase_step(state: TrainState, batch, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        r_prep, r_loss = jax.random.split(rng)
+        return step(state, prep(batch, r_prep), r_loss)
+
+    return two_phase_step
 
 
 def distill_ldm(config: dict | str, data_dir: str,
@@ -166,17 +184,27 @@ def distill_ldm(config: dict | str, data_dir: str,
     w = float(dc.get("guidance_scale", 1.0))
     uncond_emb = clip([""]) if w != 1.0 else None
 
-    def loss_fn(p, target_p, batch, step_rng):
-        r_enc, r_cd = jax.random.split(step_rng)
+    def prep_fn(batch, prep_rng):
+        """Gradient-free half (own jitted program — see
+        make_consistency_train_step): encode + boundary draw + ONE teacher
+        solver step."""
+        r_enc, r_cd = jax.random.split(prep_rng)
         z0, cond = ld.get_input(batch, r_enc)
         uncond = None
         if uncond_emb is not None:
             b = z0.shape[0]
             uncond = {"c_crossattn": [jnp.tile(uncond_emb, (b, 1, 1))]}
-        return distiller.distill_loss(
+        z_hi, z_lo, t_hi, t_lo = distiller.draw_pair(
+            ld.model_fn(teacher_params), z0, r_cd, cond=cond,
+            uncond=uncond, guidance_scale=w)
+        return {"z_hi": z_hi, "z_lo": z_lo, "t_hi": t_hi, "t_lo": t_lo,
+                "cond": cond}
+
+    def loss_fn(p, target_p, prepped, step_rng):
+        return distiller.student_loss(
             student_model_fn(p), student_model_fn(target_p),
-            ld.model_fn(teacher_params),
-            z0, r_cd, cond=cond, uncond=uncond, guidance_scale=w)
+            prepped["z_hi"], prepped["z_lo"], prepped["t_hi"],
+            prepped["t_lo"], prepped["cond"])
 
     def embed_batch(batch):
         out = {"image": jnp.asarray(batch["image"])}
@@ -188,7 +216,7 @@ def distill_ldm(config: dict | str, data_dir: str,
     state = init_train_state(student_params, opt,
                              float(dc.get("target_ema_decay", 0.95)))
     state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
-    step_fn = make_consistency_train_step(loss_fn, opt)
+    step_fn = make_consistency_train_step(loss_fn, opt, prep_fn=prep_fn)
 
     lat = cfg["latent"]
     n_eval_steps = int(dc.get("sample_steps", 2))
