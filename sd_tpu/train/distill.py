@@ -63,11 +63,15 @@ def make_consistency_train_step(loss_fn, optimizer: optax.GradientTransformation
     step, per the consistency-distillation two-timescale recipe.
 
     prep_fn(batch, rng) -> prepped (optional) runs the gradient-free work
-    (first-stage encode + teacher solver step) as its OWN jitted program:
+    (first-stage encode + teacher solver step) as its OWN program:
     one combined teacher+student+target+backward graph can exceed a remote
     compiler's program-size limit (HTTP 413 on the tunneled-TPU env), and
     the split costs nothing — the teacher output is stop-gradient anyway.
-    Without prep_fn, `prepped` is the raw batch."""
+    prep_fn is called as-is — jit it YOURSELF with the teacher params as an
+    ARGUMENT: closure-captured weights are embedded into the lowered
+    module as constants (measured 45 MB → 629 MB on the 95M-param catdog
+    teacher), which is what actually trips the size limit. Without
+    prep_fn, `prepped` is the raw batch."""
 
     def train_step(state: TrainState, prepped, rng: jax.Array):
         target = state.ema.shadow
@@ -94,12 +98,11 @@ def make_consistency_train_step(loss_fn, optimizer: optax.GradientTransformation
             return step(state, batch, jax.random.fold_in(rng, state.step))
 
         return one_phase_step
-    prep = jax.jit(prep_fn) if jit else prep_fn
 
     def two_phase_step(state: TrainState, batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         r_prep, r_loss = jax.random.split(rng)
-        return step(state, prep(batch, r_prep), r_loss)
+        return step(state, prep_fn(batch, r_prep), r_loss)
 
     return two_phase_step
 
@@ -159,9 +162,6 @@ def distill_ldm(config: dict | str, data_dir: str,
               f"{count_lora_params(student_params)/1e3:.1f}K trainable "
               f"factors over frozen "
               f"{count_params(teacher_params)/1e6:.1f}M teacher")
-
-        def student_model_fn(p):
-            return ld.model_fn(merge_lora(teacher_params, p))
     else:
         # student starts at the teacher — as a COPY: the train step donates
         # the state, and donation would invalidate the teacher closure's
@@ -170,9 +170,6 @@ def distill_ldm(config: dict | str, data_dir: str,
         print(f"[distill] student params: "
               f"{count_params(student_params)/1e6:.1f}M "
               f"(init from {teacher_run} EMA)")
-
-        def student_model_fn(p):
-            return ld.model_fn(p)
 
     distiller = ConsistencyDistiller(
         schedule=ld.schedule,
@@ -184,10 +181,13 @@ def distill_ldm(config: dict | str, data_dir: str,
     w = float(dc.get("guidance_scale", 1.0))
     uncond_emb = clip([""]) if w != 1.0 else None
 
-    def prep_fn(batch, prep_rng):
+    @jax.jit
+    def _prep(tp, batch, prep_rng):
         """Gradient-free half (own jitted program — see
         make_consistency_train_step): encode + boundary draw + ONE teacher
-        solver step."""
+        solver step. The teacher tree `tp` is an ARGUMENT, never a closure
+        constant — closure weights embed into the lowered module and trip
+        remote-compile size limits (45 MB → 629 MB measured here)."""
         r_enc, r_cd = jax.random.split(prep_rng)
         z0, cond = ld.get_input(batch, r_enc)
         uncond = None
@@ -195,16 +195,38 @@ def distill_ldm(config: dict | str, data_dir: str,
             b = z0.shape[0]
             uncond = {"c_crossattn": [jnp.tile(uncond_emb, (b, 1, 1))]}
         z_hi, z_lo, t_hi, t_lo = distiller.draw_pair(
-            ld.model_fn(teacher_params), z0, r_cd, cond=cond,
+            ld.model_fn(tp), z0, r_cd, cond=cond,
             uncond=uncond, guidance_scale=w)
         return {"z_hi": z_hi, "z_lo": z_lo, "t_hi": t_hi, "t_lo": t_lo,
                 "cond": cond}
 
-    def loss_fn(p, target_p, prepped, step_rng):
-        return distiller.student_loss(
-            student_model_fn(p), student_model_fn(target_p),
-            prepped["z_hi"], prepped["z_lo"], prepped["t_hi"],
-            prepped["t_lo"], prepped["cond"])
+    def prep_fn(batch, prep_rng):
+        return _prep(teacher_params, batch, prep_rng)
+
+    if lora_rank:
+        # the frozen base must ALSO enter the step as an argument (same
+        # constant-embedding reason); it rides the prepped tree
+        def prep_fn(batch, prep_rng):  # noqa: F811
+            out = dict(_prep(teacher_params, batch, prep_rng))
+            out["base"] = teacher_params
+            return out
+
+        def loss_fn(p, target_p, prepped, step_rng):
+            from sd_tpu.train.lora import merge_lora
+
+            def sfn(q):
+                return ld.model_fn(merge_lora(prepped["base"], q))
+
+            return distiller.student_loss(
+                sfn(p), sfn(target_p),
+                prepped["z_hi"], prepped["z_lo"], prepped["t_hi"],
+                prepped["t_lo"], prepped["cond"])
+    else:
+        def loss_fn(p, target_p, prepped, step_rng):
+            return distiller.student_loss(
+                ld.model_fn(p), ld.model_fn(target_p),
+                prepped["z_hi"], prepped["z_lo"], prepped["t_hi"],
+                prepped["t_lo"], prepped["cond"])
 
     def embed_batch(batch):
         out = {"image": jnp.asarray(batch["image"])}
@@ -221,14 +243,28 @@ def distill_ldm(config: dict | str, data_dir: str,
     lat = cfg["latent"]
     n_eval_steps = int(dc.get("sample_steps", 2))
 
-    def sampler(st, s_rng):
-        params = ema_eval_params(st)
-        emb = clip([""] * 4)
-        z = distiller.sample(
-            student_model_fn(params), s_rng,
-            (4, lat["image_size"], lat["image_size"], lat["channels"]),
-            num_steps=n_eval_steps, cond={"c_crossattn": [emb]})
+    eval_shape = (4, lat["image_size"], lat["image_size"], lat["channels"])
+
+    @jax.jit
+    def _eval_sample(params, emb, s_rng):
+        # params as ARGUMENT (see _prep); lora factors merge inside
+        model_fn = (ld.model_fn(params) if not lora_rank else
+                    student_model_fn_from(params))
+        z = distiller.sample(model_fn, s_rng, eval_shape,
+                             num_steps=n_eval_steps,
+                             cond={"c_crossattn": [emb]})
         return ld.decode_first_stage(z)
+
+    def student_model_fn_from(params):
+        from sd_tpu.train.lora import merge_lora
+
+        return ld.model_fn(merge_lora(params["base"], params["factors"]))
+
+    def sampler(st, s_rng):
+        p = ema_eval_params(st)
+        if lora_rank:
+            p = {"base": teacher_params, "factors": p}
+        return _eval_sample(p, clip([""] * 4), s_rng)
 
     state = _run_loop(step_fn, state, cfg, data_dir, out_dir, rng, start,
                       max_steps=max_steps, sampler=sampler,
