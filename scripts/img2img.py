@@ -91,21 +91,30 @@ def main():
     z_noisy = sampler.stochastic_encode(
         z, jnp.asarray(t_start - 1), r_noise, dd)
 
+    # jit with params as an ARGUMENT: closure weights bake into the scan
+    # program as constants and trip the tunneled remote compiler's
+    # request-size limit at real model scale
     if args.mask:
         m = Image.open(args.mask).convert("L").resize(
             (z.shape[2], z.shape[1]), Image.NEAREST)
         mask = (jnp.asarray(np.asarray(m, np.float32) / 255.0)[None, ..., None]
                 > 0.5).astype(jnp.float32)
-        z_out = sampler.sample(
-            ld.model_fn(uparams), r_dec, z.shape, num_steps=args.steps,
-            cond=c, uncond=uc, guidance_scale=args.guidance_scale,
-            x_T=z_noisy, mask=mask, x0=z, dd=dd,
-        )
+
+        @jax.jit
+        def _run(p, zt, r):
+            return sampler.sample(
+                ld.model_fn(p), r, z.shape, num_steps=args.steps,
+                cond=c, uncond=uc, guidance_scale=args.guidance_scale,
+                x_T=zt, mask=mask, x0=z, dd=dd,
+            )
     else:
-        z_out = sampler.decode(
-            ld.model_fn(uparams), z_noisy, t_start, r_dec,
-            cond=c, uncond=uc, guidance_scale=args.guidance_scale, dd=dd,
-        )
+        @jax.jit
+        def _run(p, zt, r):
+            return sampler.decode(
+                ld.model_fn(p), zt, t_start, r,
+                cond=c, uncond=uc, guidance_scale=args.guidance_scale, dd=dd,
+            )
+    z_out = _run(uparams, z_noisy, r_dec)
 
     out = ld.decode_first_stage(z_out)
     save_image_grid(np.asarray(out), args.out)

@@ -88,21 +88,24 @@ def main():
     up = jax.device_put(jax.tree.map(lambda a: a.astype(jnp.bfloat16), up))
 
     def loop(model):
+        # params as a jit ARGUMENT: closure weights embed into the lowered
+        # module as constants and trip the remote compiler's request-size
+        # limit (HTTP 413 / broken pipe) at SD scale
         @jax.jit
-        def f(x):
+        def f(p, x):
             def body(c, _):
-                o = model.apply(up, c, t, ctx)
+                o = model.apply(p, c, t, ctx)
                 return chain_into(c, o), None
             c, _ = jax.lax.scan(body, x, None, length=4)
             return c
         return f
 
     arms = {
-        "unet_fwd_B8_tome0": (loop(base), (x,)),
+        "unet_fwd_B8_tome0": (loop(base), (up, x)),
         "unet_fwd_B8_tome30": (
-            loop(UNetModel(**kw, tome_ratio=0.3)), (x,)),
+            loop(UNetModel(**kw, tome_ratio=0.3)), (up, x)),
         "unet_fwd_B8_tome50": (
-            loop(UNetModel(**kw, tome_ratio=0.5)), (x,)),
+            loop(UNetModel(**kw, tome_ratio=0.5)), (up, x)),
     }
     interleaved(arms, 4)
 

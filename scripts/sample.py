@@ -207,14 +207,22 @@ def main():
     sampler = args.sampler or (
         "flow" if getattr(ld.process, "is_flow", False)
         else sc.get("sampler", "ddim"))
-    img = ld.sample(
-        uparams, rng, shape,
-        cond=cond, uncond=uncond,
-        guidance_scale=gs, num_steps=steps, sampler=sampler,
-        guidance_rescale=args.guidance_rescale,
-        sag_scale=args.sag_scale,
-        **({"eta": eta} if sampler == "ddim" else {}),
-    )
+
+    # jit with params/cond as ARGUMENTS: an un-jitted ld.sample bakes the
+    # closure weights into the scan program as constants, which trips the
+    # tunneled remote compiler's request-size limit at real model scale
+    @jax.jit
+    def _sample(p, c, uc, r):
+        return ld.sample(
+            p, r, shape,
+            cond=c, uncond=uc,
+            guidance_scale=gs, num_steps=steps, sampler=sampler,
+            guidance_rescale=args.guidance_rescale,
+            sag_scale=args.sag_scale,
+            **({"eta": eta} if sampler == "ddim" else {}),
+        )
+
+    img = _sample(uparams, cond, uncond, rng)
     save_image_grid(np.asarray(img), args.out)
     print(f"[done] wrote {args.out} ({shape[0]} images, {steps} steps, "
           f"cfg={gs}, sampler={sampler})")
@@ -252,18 +260,27 @@ def _sample_ddpm(cfg, args, rng):
 
     n = args.batch or cfg.get("sample", {}).get("num_images", 4)
     shape = (n, size, size, model.out_channels)
-    model_fn = lambda x, t, c: model.apply({"params": params}, x, t)
 
+    # params as jit ARGUMENT (see the ldm path): closure weights embed as
+    # scan-program constants and can exceed remote-compile size limits
     if args.sampler == "ddim":
         from sd_tpu.diffusion.ddim import DDIMSampler
 
         sampler = DDIMSampler(sched,
                               parameterization=process.parameterization)
-        img = sampler.sample(model_fn, rng, shape,
-                             num_steps=args.steps or 50,
-                             eta=args.eta if args.eta is not None else 0.0)
+
+        @jax.jit
+        def _run(p, r):
+            mf = lambda x, t, c: model.apply({"params": p}, x, t)
+            return sampler.sample(mf, r, shape, num_steps=args.steps or 50,
+                                  eta=(args.eta if args.eta is not None
+                                       else 0.0))
     else:
-        img = process.p_sample_loop(model_fn, rng, shape)
+        @jax.jit
+        def _run(p, r):
+            mf = lambda x, t, c: model.apply({"params": p}, x, t)
+            return process.p_sample_loop(mf, r, shape)
+    img = _run(params, rng)
     save_image_grid(np.asarray(img), args.out)
     print(f"[done] wrote {args.out} ({n} images, task=ddpm, "
           f"sampler={args.sampler or 'ddpm'})")

@@ -216,7 +216,13 @@ def super_resolve(ld, params, lr_images, rng, latent_cfg: dict,
     LDM: LR -> latent-grid conditioning -> sampler -> first-stage decode."""
     size, ch = latent_cfg["image_size"], latent_cfg["channels"]
     lr = jnp.asarray(lr_images)
-    cond = {"c_concat": [_lr_to_latent(lr, size)]}
-    out = ld.sample(params, rng, (lr.shape[0], size, size, ch), cond=cond,
-                    num_steps=num_steps, eta=eta, sampler=sampler)
+
+    # params/cond as jit ARGUMENTS: closure weights embed into the scan
+    # program as constants and can exceed remote-compile size limits
+    @jax.jit
+    def _run(p, c, r):
+        return ld.sample(p, r, (lr.shape[0], size, size, ch), cond=c,
+                         num_steps=num_steps, eta=eta, sampler=sampler)
+
+    out = _run(params, {"c_concat": [_lr_to_latent(lr, size)]}, rng)
     return np.asarray(out, np.float32)
