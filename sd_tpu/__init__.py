@@ -60,4 +60,12 @@ def __getattr__(name):
         from sd_tpu.diffusion.unipc import UniPCSampler
 
         return UniPCSampler
+    if name == "ConsistencyDistiller":
+        from sd_tpu.diffusion.consistency import ConsistencyDistiller
+
+        return ConsistencyDistiller
+    if name in ("FlowProcess", "FlowSchedule", "FlowEulerSampler"):
+        from sd_tpu.diffusion import flow
+
+        return getattr(flow, name)
     raise AttributeError(f"module 'sd_tpu' has no attribute {name!r}")
