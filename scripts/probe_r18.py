@@ -109,9 +109,22 @@ def main():
     }
     interleaved(arms, 4)
 
-    # numerical sanity on-device: tome output stays near baseline
-    o0 = base.apply(up, x, t, ctx).astype(jnp.float32)
-    o5 = UNetModel(**kw, tome_ratio=0.5).apply(up, x, t, ctx).astype(jnp.float32)
+    # numerical sanity on-device: tome output stays near baseline.
+    # De-zero the zero-init convs first (out_conv + every SpatialTransformer
+    # proj_out) — at random init they hide the transformer blocks entirely,
+    # so the deviation of anything inside them reads as exactly 0.
+    kr = [jax.random.fold_in(rng, 99)]
+
+    def dezero(v):
+        kr[0], sub = jax.random.split(kr[0])
+        return jnp.where(jnp.all(v == 0),
+                         jax.random.normal(sub, v.shape).astype(v.dtype)
+                         * 0.05, v)
+
+    up_dz = jax.tree.map(dezero, up)
+    o0 = base.apply(up_dz, x, t, ctx).astype(jnp.float32)
+    o5 = UNetModel(**kw, tome_ratio=0.5).apply(up_dz, x, t,
+                                               ctx).astype(jnp.float32)
     rel = float(jnp.linalg.norm(o5 - o0) / (jnp.linalg.norm(o0) + 1e-8))
     report("tome50_rel_dev_vs_exact", 0.0, rel=round(rel, 4))
 
