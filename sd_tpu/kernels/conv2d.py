@@ -53,35 +53,95 @@ def _conv3x3_kernel_impl(x_hbm, w_ref, b_ref, a_ref, c_ref, o_ref, xwin, sem,
                          im2col: bool, H: int | None):
     """Grid step (b, i): compute output rows [i*th, i*th+th) for batch b.
 
-    x_hbm:  [B, H+2, W+2, C] pre-padded input, stays in HBM/ANY
-    xwin:   VMEM scratch [2, th+2, W+2, C] (double buffer)
+    x_hbm:  [B, H, W, C] UNPADDED input, stays in HBM/ANY. The SAME halo is
+            assembled in VMEM: three DMAs land the body rows plus the
+            one-row top/bottom halos at a column offset of 1, and the
+            boundary rows / halo columns are zero-stored in VMEM — no
+            materialized XLA pad feeds the kernel (PROBE_R19 attributed
+            10.6 ms of the 96 ms decode to those pads).
+    xwin:   VMEM scratch [2, th+2, W2, C] (double buffer)
     w_ref:  [3, 3, C, O] in VMEM
     b_ref:  [1, O] in VMEM (zeros when the conv has no bias)
     o_ref:  [1, th, W, O] output block in VMEM
+    sem:    DMA semaphores [2, 3] (slot × {body, top, bottom})
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
     slot = jax.lax.rem(i, 2)
 
-    # DMA this step's input window (th+2 rows with halo). The NEXT step's
-    # window is prefetched into the other buffer before we compute, so the
-    # copy engine overlaps the matmuls.
-    def start_copy(step, slot):
-        return pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(step * th, th + 2)],
-            xwin.at[slot],
-            sem.at[slot],
+    def copies(step, slot):
+        body = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(step * th, th)],
+            xwin.at[slot, pl.ds(1, th), pl.ds(1, W)],
+            sem.at[slot, 0],
         )
+        top = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(step * th - 1, 1)],
+            xwin.at[slot, pl.ds(0, 1), pl.ds(1, W)],
+            sem.at[slot, 1],
+        )
+        bot = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(step * th + th, 1)],
+            xwin.at[slot, pl.ds(th + 1, 1), pl.ds(1, W)],
+            sem.at[slot, 2],
+        )
+        return body, top, bot
+
+    def start_copies(step, slot):
+        body, top, bot = copies(step, slot)
+        body.start()
+
+        @pl.when(step > 0)
+        def _top():
+            top.start()
+
+        @pl.when(step < n_rows - 1)
+        def _bot():
+            bot.start()
+
+    def wait_copies(step, slot):
+        body, top, bot = copies(step, slot)
+        body.wait()
+
+        @pl.when(step > 0)
+        def _top():
+            top.wait()
+
+        @pl.when(step < n_rows - 1)
+        def _bot():
+            bot.wait()
+
+    # Zero the halo columns of both slots once per kernel launch: the DMAs
+    # only ever write cols 1..W, and the taps only read cols 0..W+1, so the
+    # two halo columns stay zero for the whole grid.
+    @pl.when((b == 0) & (i == 0))
+    def _zero_halo_cols():
+        zc = jnp.zeros((2, th + 2, 1, C), xwin.dtype)
+        xwin[:, :, 0:1, :] = zc
+        xwin[:, :, W + 1:W + 2, :] = zc
 
     @pl.when(i == 0)
     def _first():
-        start_copy(i, slot).start()
+        start_copies(i, slot)
 
-    start_copy(i, slot).wait()
+    wait_copies(i, slot)
 
     @pl.when(i + 1 < n_rows)
     def _prefetch():
-        start_copy(i + 1, jax.lax.rem(i + 1, 2)).start()
+        start_copies(i + 1, jax.lax.rem(i + 1, 2))
+
+    # boundary rows of the SAME halo are zeros (stores are compute-phase,
+    # after this slot's DMA wait; disjoint from the DMA'd cols 1..W rows
+    # 1..th, and they re-zero the halo cols they touch, which is harmless)
+    zr = jnp.zeros((1, xwin.shape[2], C), xwin.dtype)
+
+    @pl.when(i == 0)
+    def _zero_top():
+        xwin[slot, 0:1, :, :] = zr
+
+    @pl.when(i == n_rows - 1)
+    def _zero_bot():
+        xwin[slot, th + 1:th + 2, :, :] = zr
 
     if a_ref is not None:
         # fused GroupNorm+SiLU prologue on the resident window, fp32 math
@@ -156,10 +216,10 @@ def conv3x3_same(
     """Stride-1 SAME 3×3 convolution, fp32 accumulation, output in x.dtype."""
     B, H, W, C = x.shape
     O = w.shape[-1]
-    # the DMA'd window is [th+2, W2, C]; Mosaic requires the sliced sublane
-    # dim (W2) to be 8-aligned, so right-pad the width beyond the SAME halo
+    # the VMEM window is [th+2, W2, C]; Mosaic requires the sliced sublane
+    # dim (W2) to be 8-aligned. The halo lives only in VMEM — x is consumed
+    # unpadded straight from HBM (no materialized XLA pad).
     W2 = ((W + 2 + 7) // 8) * 8
-    xp = jnp.pad(x, [(0, 0), (1, 1), (1, W2 - W - 1), (0, 0)])
 
     if row_tile is None:
         # ~2-4 MB double-buffered window; keep th a divisor of H. The im2col
@@ -194,10 +254,10 @@ def conv3x3_same(
         out_shape=jax.ShapeDtypeStruct((B, H, W, O), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, th + 2, W2, C), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,
-    )(xp, wc, bias)
+    )(x, wc, bias)
 
 
 def _xla_conv3x3(x, w, b):
@@ -272,7 +332,6 @@ def gn_silu_conv3x3(
     a, c = _gn_stats_affine(x, gn_scale, gn_bias, groups, eps)
 
     W2 = ((W + 2 + 7) // 8) * 8
-    xp = jnp.pad(x, [(0, 0), (1, 1), (1, W2 - W - 1), (0, 0)])
     if row_tile is None:
         # tighter budget than the plain conv: the prologue materializes an
         # fp32 window intermediate and an fp32 acc alongside the
@@ -306,10 +365,10 @@ def gn_silu_conv3x3(
         out_shape=jax.ShapeDtypeStruct((B, H, W, O), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, th + 2, W2, C), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,
-    )(xp, w.astype(x.dtype), bias, a, c)
+    )(x, w.astype(x.dtype), bias, a, c)
 
 
 def _gn_silu_conv_xla(x, gn_scale, gn_bias, w, b, groups, eps):

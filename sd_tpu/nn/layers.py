@@ -48,18 +48,57 @@ class GroupNorm32(nn.Module):
             while channels % groups != 0:
                 groups -= 1
 
-        # (A per-channel-first stats rewrite was probed and REVERTED: it
-        # measured 2.03 ms vs flax's 1.76 ms at [4,512,512,128] on v5e
-        # (PROBE_R6 `gn32_dec512_128_chfirst` vs PROBE_R5 `gn32_dec512_128`) —
-        # XLA already fuses the fp32 casts into the reduction here, and the
-        # separate per-channel sum/sumsq passes fuse worse than flax's single
-        # [..,g,C/g] reduction despite the 4-wide lane dim.)
-        y = nn.GroupNorm(
-            num_groups=groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
+        # The inner module carries the params under the same path flax's
+        # nn.GroupNorm child used ("GroupNorm_0/{scale,bias}") so checkpoints
+        # and the torch importers are unchanged; it dispatches the UNet-scale
+        # shapes to the Pallas GN kernel on TPU inference traces
+        # (kernels/groupnorm.py — XLA's convert_reduce_fusion lowering runs
+        # those shapes 10-25× above memory floor, PROBE_R19).
+        del orig_dtype
+        return _GroupNormCore(
+            num_groups=groups, epsilon=self.epsilon, name="GroupNorm_0"
+        )(x)
+
+
+class _GroupNormCore(nn.Module):
+    """GroupNorm core with flax param naming and a Pallas fast path.
+
+    The XLA fallback reproduces nn.GroupNorm(dtype=f32, param_dtype=f32)
+    math exactly (fp32 fast-variance stats over the [spatial, C/g] group
+    reshape). (A per-channel-first stats rewrite of the fallback was probed
+    and REVERTED: 2.03 ms vs flax's 1.76 ms at [4,512,512,128] on v5e,
+    PROBE_R6 `gn32_dec512_128_chfirst`.)
+    """
+
+    num_groups: int
+    epsilon: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from sd_tpu.kernels.groupnorm import (group_norm_trainable,
+                                              group_norm_wants_pallas)
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+
+        if group_norm_wants_pallas(x.shape, self.num_groups, x.dtype):
+            B = x.shape[0]
+            y = group_norm_trainable(
+                x.reshape(B, -1, C), scale, bias, self.num_groups,
+                float(self.epsilon))
+            return y.reshape(x.shape)
+
+        orig_dtype = x.dtype
+        g = self.num_groups
+        cg = C // g
+        x32 = x.astype(jnp.float32)
+        xr = x32.reshape(x.shape[:-1] + (g, cg))
+        red = tuple(range(1, xr.ndim - 2)) + (xr.ndim - 1,)
+        mu = jnp.mean(xr, axis=red, keepdims=True)
+        var = jnp.mean(jnp.square(xr), axis=red, keepdims=True) - mu * mu
+        y = (xr - mu) * jax.lax.rsqrt(var + self.epsilon)
+        y = y.reshape(x.shape) * scale + bias
         return y.astype(orig_dtype)
 
 

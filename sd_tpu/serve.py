@@ -244,6 +244,19 @@ class BatchingServer:
                 r.kwargs["seed"] = params["seed"]
             prompts = [r.prompt for r in group]
             negatives = [r.negative_prompt for r in group]
+            # Pad to the next power-of-two bucket: jit compiles one program
+            # per batch size, and a first-hit compile is minutes on TPU, so
+            # unpadded groups would make serving latency depend on the
+            # arrival pattern (group of 3 → fresh B3 program). Buckets bound
+            # the program count to log2(max_batch)+1; the pad slots are
+            # nearly free on TPU (a B4 UNet call costs ~ a B3 one — the MXU
+            # is underfilled either way) and are sliced off below.
+            bucket = 1
+            while bucket < len(group):
+                bucket *= 2
+            for _ in range(bucket - len(group)):
+                prompts.append(prompts[-1])
+                negatives.append(negatives[-1])
             try:
                 imgs = self.pipeline.generate(
                     prompts,

@@ -281,3 +281,42 @@ def test_sag_scale_keys_batches_and_validates():
                             "sag_scale": 0.5})
     finally:
         batcher.stop()
+
+
+def test_non_pow2_group_pads_to_bucket():
+    """A 3-request group must run as a padded batch-4 generate() call
+    (batch-size bucketing: one compiled program per pow-2 bucket), while
+    each requester still gets its own image and batch_size=3."""
+    stub = StubPipeline()
+    batcher = BatchingServer(stub, max_batch=4, batch_window_ms=400)
+    batcher.start()
+    server = make_http_server(batcher, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    results = {}
+    lock = threading.Lock()
+
+    def go(i):
+        r = _post(url, {"prompt": "x" * (i + 1), "steps": 5})
+        with lock:
+            results[i] = r
+
+    try:
+        threads = [threading.Thread(target=go, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(stub.calls) == 1
+        call = stub.calls[0]
+        assert len(call["prompts"]) == 4          # padded to the bucket
+        assert call["prompts"][3] == call["prompts"][2]  # pad = repeat last
+        for i, r in results.items():
+            assert r["batch_size"] == 3           # realized group size
+            img = np.frombuffer(
+                base64.b64decode(r["image"]), np.uint8)
+            assert img.size > 0
+    finally:
+        server.shutdown()
+        server.server_close()
+        batcher.stop()
