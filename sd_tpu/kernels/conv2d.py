@@ -55,7 +55,9 @@ def _conv3x3_kernel_impl(x_hbm, w_ref, b_ref, a_ref, c_ref, o_ref, xwin, sem,
 
     x_hbm:  [B, H, W, C] UNPADDED input, stays in HBM/ANY. The SAME halo is
             assembled in VMEM: three DMAs land the body rows plus the
-            one-row top/bottom halos at a column offset of 1, and the
+            one-row top/bottom halos at a column offset of 8 (Mosaic
+            requires DMA-target sublane slices to be 8-aligned; unaligned
+            READS of VMEM are fine, so the taps read offsets 7/8/9), and the
             boundary rows / halo columns are zero-stored in VMEM — no
             materialized XLA pad feeds the kernel (PROBE_R19 attributed
             10.6 ms of the 96 ms decode to those pads).
@@ -72,17 +74,17 @@ def _conv3x3_kernel_impl(x_hbm, w_ref, b_ref, a_ref, c_ref, o_ref, xwin, sem,
     def copies(step, slot):
         body = pltpu.make_async_copy(
             x_hbm.at[b, pl.ds(step * th, th)],
-            xwin.at[slot, pl.ds(1, th), pl.ds(1, W)],
+            xwin.at[slot, pl.ds(1, th), pl.ds(8, W)],
             sem.at[slot, 0],
         )
         top = pltpu.make_async_copy(
             x_hbm.at[b, pl.ds(step * th - 1, 1)],
-            xwin.at[slot, pl.ds(0, 1), pl.ds(1, W)],
+            xwin.at[slot, pl.ds(0, 1), pl.ds(8, W)],
             sem.at[slot, 1],
         )
         bot = pltpu.make_async_copy(
             x_hbm.at[b, pl.ds(step * th + th, 1)],
-            xwin.at[slot, pl.ds(th + 1, 1), pl.ds(1, W)],
+            xwin.at[slot, pl.ds(th + 1, 1), pl.ds(8, W)],
             sem.at[slot, 2],
         )
         return body, top, bot
@@ -112,13 +114,14 @@ def _conv3x3_kernel_impl(x_hbm, w_ref, b_ref, a_ref, c_ref, o_ref, xwin, sem,
             bot.wait()
 
     # Zero the halo columns of both slots once per kernel launch: the DMAs
-    # only ever write cols 1..W, and the taps only read cols 0..W+1, so the
-    # two halo columns stay zero for the whole grid.
+    # only ever write cols 8..8+W, and the taps only read cols 7..9+W, so
+    # the halo columns stay zero for the whole grid.
+    W2 = xwin.shape[2]
     @pl.when((b == 0) & (i == 0))
     def _zero_halo_cols():
-        zc = jnp.zeros((2, th + 2, 1, C), xwin.dtype)
-        xwin[:, :, 0:1, :] = zc
-        xwin[:, :, W + 1:W + 2, :] = zc
+        xwin[:, :, 0:8, :] = jnp.zeros((2, th + 2, 8, C), xwin.dtype)
+        xwin[:, :, 8 + W:W2, :] = jnp.zeros(
+            (2, th + 2, W2 - 8 - W, C), xwin.dtype)
 
     @pl.when(i == 0)
     def _first():
@@ -131,7 +134,7 @@ def _conv3x3_kernel_impl(x_hbm, w_ref, b_ref, a_ref, c_ref, o_ref, xwin, sem,
         start_copies(i + 1, jax.lax.rem(i + 1, 2))
 
     # boundary rows of the SAME halo are zeros (stores are compute-phase,
-    # after this slot's DMA wait; disjoint from the DMA'd cols 1..W rows
+    # after this slot's DMA wait; disjoint from the DMA'd cols 8..8+W rows
     # 1..th, and they re-zero the halo cols they touch, which is harmless)
     zr = jnp.zeros((1, xwin.shape[2], C), xwin.dtype)
 
@@ -151,20 +154,19 @@ def _conv3x3_kernel_impl(x_hbm, w_ref, b_ref, a_ref, c_ref, o_ref, xwin, sem,
         y = win.astype(jnp.float32) * a + cc
         y = y * jax.nn.sigmoid(y)                     # silu
         # re-zero the SAME-conv halo (normalize would turn padding nonzero):
-        # window row r is padded-array row i*th + r (valid 1..H); only cols
-        # 1..W are real data (col 0 and W+1 are the halo the taps read).
-        W2 = xwin.shape[2]
+        # window row r is halo-array row i*th + r (valid 1..H); only cols
+        # 8..8+W are real data (cols 7 and 8+W are the halo the taps read).
         row = jax.lax.broadcasted_iota(jnp.int32, (th + 2, W2, 1), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (th + 2, W2, 1), 1)
         gr = i * th + row
-        valid = (gr >= 1) & (gr <= H) & (col >= 1) & (col <= W)
+        valid = (gr >= 1) & (gr <= H) & (col >= 8) & (col < 8 + W)
         win = jnp.where(valid, y, 0.0).astype(xwin.dtype)
 
         acc = jnp.zeros((th * W, O), jnp.float32)
         for di in range(3):
             rows = win[di:di + th]                    # [th, W+2.., C]
             for dj in range(3):
-                tap = rows[:, dj:dj + W, :].reshape(th * W, C)
+                tap = rows[:, 7 + dj:7 + dj + W, :].reshape(th * W, C)
                 acc = acc + jax.lax.dot_general(
                     tap, w_ref[di, dj],
                     (((1,), (0,)), ((), ())),
@@ -182,7 +184,7 @@ def _conv3x3_kernel_impl(x_hbm, w_ref, b_ref, a_ref, c_ref, o_ref, xwin, sem,
         for di in range(3):
             rows = xwin[slot, di:di + th]
             for dj in range(3):
-                parts.append(rows[:, dj:dj + W, :].reshape(th * W, C))
+                parts.append(rows[:, 7 + dj:7 + dj + W, :].reshape(th * W, C))
         patches = jnp.concatenate(parts, axis=-1)       # [th·W, 9C]
         acc = jax.lax.dot_general(
             patches, w_ref[:].reshape(9 * C, O),
@@ -194,7 +196,7 @@ def _conv3x3_kernel_impl(x_hbm, w_ref, b_ref, a_ref, c_ref, o_ref, xwin, sem,
         for di in range(3):
             rows = xwin[slot, di:di + th]          # [th, W+2, C]
             for dj in range(3):
-                win = rows[:, dj:dj + W, :].reshape(th * W, C)
+                win = rows[:, 7 + dj:7 + dj + W, :].reshape(th * W, C)
                 acc = acc + jax.lax.dot_general(
                     win, w_ref[di, dj],
                     (((1,), (0,)), ((), ())),
@@ -216,10 +218,10 @@ def conv3x3_same(
     """Stride-1 SAME 3×3 convolution, fp32 accumulation, output in x.dtype."""
     B, H, W, C = x.shape
     O = w.shape[-1]
-    # the VMEM window is [th+2, W2, C]; Mosaic requires the sliced sublane
-    # dim (W2) to be 8-aligned. The halo lives only in VMEM — x is consumed
-    # unpadded straight from HBM (no materialized XLA pad).
-    W2 = ((W + 2 + 7) // 8) * 8
+    # the VMEM window is [th+2, W2, C] with data at column offset 8 (DMA
+    # targets must be 8-aligned in the sublane dim). The halo lives only in
+    # VMEM — x is consumed unpadded straight from HBM (no XLA pad).
+    W2 = ((W + 9 + 7) // 8) * 8
 
     if row_tile is None:
         # ~2-4 MB double-buffered window; keep th a divisor of H. The im2col
@@ -331,7 +333,7 @@ def gn_silu_conv3x3(
     O = w.shape[-1]
     a, c = _gn_stats_affine(x, gn_scale, gn_bias, groups, eps)
 
-    W2 = ((W + 2 + 7) // 8) * 8
+    W2 = ((W + 9 + 7) // 8) * 8
     if row_tile is None:
         # tighter budget than the plain conv: the prologue materializes an
         # fp32 window intermediate and an fp32 acc alongside the

@@ -150,9 +150,16 @@ def group_norm_wants_pallas(shape: tuple, groups: int, dtype) -> bool:
     whole [S, C] rows in VMEM (the UNet levels; codec 512² maps stay XLA)."""
     from sd_tpu.kernels.conv2d import _TRAIN_CTX_VAR
 
+    # DEFAULT OFF — measured in-model REGRESSION (PROBE_R20): UNet fwd B8
+    # 61.4 ms (XLA GN) vs 63.0 ms (this kernel), spreads ≤0.014. Isolated,
+    # XLA's GN is already near floor (0.145 ms at [8,4096,320] in a chained
+    # scan); the 1.26 ms the profiler attributes to the in-model
+    # convert_reduce_fusion is layout work for the NEIGHBORING XLA convs
+    # ({3,0,2,1} choices), which a layout-pinning custom call makes WORSE
+    # (forced copies on both sides). Kept opt-in for standalone use.
     if _TRAIN_CTX_VAR.get():
         return False
-    if os.environ.get("SD_TPU_PALLAS_GN", "1") != "1":
+    if os.environ.get("SD_TPU_PALLAS_GN", "0") != "1":
         return False
     if jax.default_backend() != "tpu":
         return False

@@ -210,6 +210,25 @@ class CrossAttention(nn.Module):
             out = o @ wo.astype(cdt) + bo.astype(cdt)
             return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
+        if (mask is None and context is not None and ip is None):
+            from sd_tpu.kernels.cross_attention import (
+                crossattn_kv_trainable, crossattn_kv_wants_pallas)
+
+            if crossattn_kv_wants_pallas(N, M, h, d, C, cdt):
+                # fused small-KV cross-attention: q-projection + exact
+                # softmax over the VMEM-resident 77-token K/V + output
+                # projection in ONE kernel — a single HBM round-trip of
+                # x/out (kernels/cross_attention.py). K/V projections stay
+                # XLA (tiny 77-token matmuls, hoisted out of the sampler
+                # scan by LICM since context is loop-invariant).
+                k = cc @ wk.astype(cdt)
+                v = cc @ wv.astype(cdt)
+                out = crossattn_kv_trainable(
+                    xc, wq.astype(cdt), k, v, wo.astype(cdt),
+                    bo.astype(cdt), h)
+                return nn.Dropout(self.dropout)(
+                    out, deterministic=deterministic)
+
         if (mask is None and context is None
                 and packed_flash_ok(N, M, h, d)):
             q = jnp.einsum("bsc,chd->bhsd", xc, wq.reshape(C, h, d).astype(cdt))

@@ -50,10 +50,11 @@ class GroupNorm32(nn.Module):
 
         # The inner module carries the params under the same path flax's
         # nn.GroupNorm child used ("GroupNorm_0/{scale,bias}") so checkpoints
-        # and the torch importers are unchanged; it dispatches the UNet-scale
-        # shapes to the Pallas GN kernel on TPU inference traces
-        # (kernels/groupnorm.py — XLA's convert_reduce_fusion lowering runs
-        # those shapes 10-25× above memory floor, PROBE_R19).
+        # and the torch importers are unchanged. The Pallas GN kernel
+        # (kernels/groupnorm.py) is OPT-IN only (SD_TPU_PALLAS_GN=1): the
+        # in-model A/B measured it a 1.6 ms/step regression — the XLA GN
+        # fusion's apparent 1.26 ms (PROBE_R19) is layout glue for the
+        # neighboring convs, not reduction cost (PROBE_R20).
         del orig_dtype
         return _GroupNormCore(
             num_groups=groups, epsilon=self.epsilon, name="GroupNorm_0"

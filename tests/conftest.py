@@ -30,12 +30,12 @@ import pytest  # noqa: E402
 _FAST_MODULES = {
     "test_schedules",
     "test_distributions",
-    "test_quantize",
     "test_ema",
     "test_groupnorm",
     "test_geglu",
     "test_conv2d",
     "test_flash_attention",
+    "test_cross_attention",
     "test_nn_blocks",
     "test_diffusion",
     "test_dpm_solver",
@@ -44,8 +44,6 @@ _FAST_MODULES = {
     "test_k_samplers",
     "test_guidance",
     "test_utils",
-    "test_safetensors",
-    "test_watermark",
 }
 
 
