@@ -51,6 +51,13 @@ def _pallas_ok(q: jax.Array, k: jax.Array) -> bool:
     # [B,1,S,S] fp32 logits there).
     if sq % 128 != 0 or d > 512:
         return False
+    # the kernels' VMEM tile budgets assume 2-byte activations; an f32
+    # trace (e.g. the KL-VAE trainers' f32 eval/recon pass hitting the
+    # codec mid-block's single-head d=512 attention at 256² → S=1024)
+    # doubles every tile and overflows scoped VMEM (measured: 19.52M vs
+    # the 16M limit, kl_f8_256 run). f32 goes to XLA.
+    if q.dtype.itemsize != 2:
+        return False
     # measured crossovers on v5e (PROBE_R2.jsonl, bf16, B8/h8):
     #   cross-attn kv=77, Sq=4096/d40: XLA 0.26 ms vs flash 0.85 ms — the
     #     S×77 logits are tiny, flash's grid overhead dominates;
