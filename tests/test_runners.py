@@ -146,6 +146,39 @@ def test_train_ldm_vq_first_stage(image_dir, tmp_path):
     assert float(jnp.abs(z - zq).max()) > 1e-4
 
 
+def test_train_ldm_first_stage_from_ckpt(image_dir, tmp_path):
+    """LDM over a TRAINED first stage restored from a KL-VAE GAN checkpoint
+    dir — the exact path the flagship run takes (configs/sd512_catdog.yaml
+    first_stage.ckpt; reference: instantiate_first_stage + init_from_ckpt,
+    ldm/diffusion/ddpm.py:269-293). Asserts the restored weights actually
+    flow into the frozen first stage, not a fresh init."""
+    import jax
+    import numpy as np
+
+    from sd_tpu.train.checkpoint import restore_pytree
+    from sd_tpu.train.runners import build_ldm, train_kl_vae, train_ldm
+
+    kl_cfg = _load("kl_smoke.yaml")
+    kl_out = str(tmp_path / "kl")
+    train_kl_vae(kl_cfg, image_dir, out_dir=kl_out)
+
+    cfg = _load("sd_txt2img_smoke.yaml")
+    cfg["first_stage"] = {
+        "target": "sd_tpu.models.autoencoder.AutoencoderKL",
+        "ckpt": os.path.join(kl_out, "ckpt"),
+        "params": dict(kl_cfg["model"]["params"]),
+    }
+    cfg["latent"]["image_size"] = 16  # 32 px / f2 (kl_smoke is ch_mult [1,2])
+    state = train_ldm(cfg, image_dir, out_dir=str(tmp_path / "run"))
+    assert int(state.step) == 2
+
+    _, _, _, _, vparams, _ = build_ldm(cfg, jax.random.PRNGKey(0))
+    trained = restore_pytree(os.path.join(kl_out, "ckpt"))
+    np.testing.assert_allclose(
+        np.asarray(vparams["quant_conv"]["kernel"]),
+        np.asarray(trained["params_g"]["model"]["quant_conv"]["kernel"]))
+
+
 def test_train_ldm_cond_stage_trainable(image_dir, tmp_path):
     """cond_stage.trainable=true puts the text tower in the optimizer and its
     params actually move (reference: ldm/diffusion/ddpm.py:1942-1972)."""
