@@ -35,6 +35,15 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    # persistent compile cache: on the tunneled-TPU env every train-step
+    # compile is a remote round trip (minutes at SD scale); cache hits make
+    # relaunch/resume instant. Same default dir as __graft_entry__.py.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/jax_compilation")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     # Multi-host bring-up (no-op single-process; autodetects TPU-pod env or
     # the JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID triple).
     from sd_tpu.parallel import multihost

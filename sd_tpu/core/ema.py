@@ -25,10 +25,15 @@ class EmaState:
     decay: float = dataclasses.field(metadata=dict(static=True), default=0.9999)
 
 
-def ema_init(params: PyTree, decay: float = 0.9999, use_num_updates: bool = True) -> EmaState:
-    # explicit copy: fp32 params would otherwise ALIAS the shadow at init,
-    # which breaks buffer donation in the train step (double-donate error)
-    shadow = jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True), params)
+def ema_init(params: PyTree, decay: float = 0.9999, use_num_updates: bool = True,
+             dtype=jnp.float32) -> EmaState:
+    """`dtype` is the shadow dtype — fp32 by default (the reference keeps
+    fp32 shadow buffers). A bf16 shadow halves EMA memory for fast-moving
+    shadows (e.g. the consistency-distillation target network at decay
+    ~0.95) where fp32 accumulation precision isn't load-bearing."""
+    # explicit copy: same-dtype params would otherwise ALIAS the shadow at
+    # init, which breaks buffer donation in the train step (double-donate)
+    shadow = jax.tree.map(lambda p: jnp.array(p, dtype, copy=True), params)
     n0 = jnp.asarray(0 if use_num_updates else -1, dtype=jnp.int32)
     return EmaState(shadow=shadow, num_updates=n0, decay=decay)
 
@@ -40,7 +45,8 @@ def ema_update(state: EmaState, params: PyTree) -> EmaState:
     decay = jnp.where(n >= 0, jnp.minimum(state.decay, warm), state.decay)
     one_minus = 1.0 - decay
     shadow = jax.tree.map(
-        lambda s, p: s - one_minus * (s - p.astype(jnp.float32)),
+        lambda s, p: (s - (one_minus * (s - p.astype(s.dtype))
+                           ).astype(s.dtype)),
         state.shadow,
         params,
     )

@@ -29,8 +29,10 @@ class Text2ImagePipeline:
         from sd_tpu.train.runners import build_ldm
 
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        # init the UNet directly in param_dtype — at the 859M-param
+        # flagship shape an fp32 init + cast would transiently hold both
         (self.ld, self.unet, self.unet_params, self.vae, self.vae_params,
-         self.clip) = build_ldm(cfg, rng)
+         self.clip) = build_ldm(cfg, rng, param_dtype=param_dtype)
         self.cfg = cfg
         self.param_dtype = param_dtype
         if param_dtype is not None:
@@ -131,8 +133,7 @@ class Text2ImagePipeline:
         import os
 
         from sd_tpu.core.config import load_yaml
-        from sd_tpu.train.checkpoint import restore_checkpoint
-        from sd_tpu.train.diffusion import ddpm_optimizer, init_train_state
+        from sd_tpu.train.checkpoint import restore_pytree
         from sd_tpu.train.runners import apply_calibration
 
         cfg = load_yaml(config_path)
@@ -140,14 +141,18 @@ class Text2ImagePipeline:
         pipe = cls(cfg, param_dtype=None, **kw)  # fp32 restore template
 
         ckpt_dir = os.path.join(run_dir, "ckpt")
-        state = init_train_state(
-            pipe.unet_params, ddpm_optimizer(1e-4),
-            num_timesteps=pipe.ld.schedule.num_timesteps)
-        state = restore_checkpoint(ckpt_dir, state)
-        uparams = (state.ema.shadow if state.ema is not None
-                   else state.params)
+        # raw-pytree restore: rebuilding the full TrainState (optimizer
+        # moments + EMA) as a template would spike ~4× the param bytes in
+        # HBM at serving-load time — fatal at the 859M-param flagship shape
+        tree = restore_pytree(ckpt_dir)
+        ema_t = tree.get("ema") if isinstance(tree, dict) else None
+        uparams = (ema_t["shadow"]
+                   if isinstance(ema_t, dict)
+                   and ema_t.get("shadow") is not None
+                   else tree["params"])
         pipe.unet_params = jax.tree.map(
-            lambda s, p: s.astype(p.dtype), uparams, state.params)
+            lambda s, p: jnp.asarray(s, p.dtype), uparams,
+            pipe.unet_params)
         pipe.ld = apply_calibration(pipe.ld, cfg, ckpt_dir)
 
         if dtype is not None:

@@ -27,6 +27,45 @@ from sd_tpu.core.ema import EmaState, ema_init, ema_update
 PyTree = Any
 
 
+def cast_floating(tree: PyTree, dtype) -> PyTree:
+    """Cast floating-point leaves to `dtype`, leaving ints/bools alone."""
+    if dtype is None:
+        return tree
+    dtype = jnp.dtype(dtype)
+    return jax.tree.map(
+        lambda p: p.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating) else p,
+        tree,
+    )
+
+
+def float32_moments(opt: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Keep an optimizer's internal state in fp32 under low-precision params.
+
+    The production training shape on a 16 GB chip is bf16 params + fp32 Adam
+    moments + fp32 EMA (BASELINE.md round-1 probe: fits 859M-param SD UNet
+    training state in HBM with the loss trajectory matching fp32 params to
+    3 decimals). optax's scale_by_adam would otherwise keep mu/nu in the
+    grads' dtype; this wrapper runs the inner transform entirely in fp32 and
+    casts the final updates back to the grads' dtype. Under jit the casts
+    fuse into the update computation — no standalone fp32 param copy is
+    materialized except transiently for weight decay.
+    """
+
+    def init(params):
+        return opt.init(cast_floating(params, jnp.float32))
+
+    def update(grads, state, params=None):
+        g32 = cast_floating(grads, jnp.float32)
+        p32 = None if params is None else cast_floating(params, jnp.float32)
+        up32, new_state = opt.update(g32, state, p32)
+        up = jax.tree.map(lambda u, g: u.astype(jnp.asarray(g).dtype),
+                          up32, grads)
+        return up, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TrainState:
@@ -46,20 +85,54 @@ def init_train_state(
     num_timesteps: int | None = None,
     logvar_init: float = 0.0,
     learn_logvar: bool = False,
+    param_dtype=None,
+    ema_dtype=jnp.float32,
 ) -> TrainState:
-    logvar = None
-    if num_timesteps is not None:
-        logvar = jnp.full((num_timesteps,), logvar_init, jnp.float32)
-    opt_params = {"model": params}
-    if learn_logvar and logvar is not None:
-        opt_params["logvar"] = logvar
-    return TrainState(
-        params=params,
-        opt_state=optimizer.init(opt_params if learn_logvar else params),
-        ema=ema_init(params, ema_decay) if ema_decay is not None else None,
-        step=jnp.asarray(0, jnp.int32),
-        logvar=logvar,
-    )
+    """Build the training state. With `param_dtype` (e.g. "bfloat16") the
+    params are cast to that dtype and the whole state — cast, optimizer
+    moments, fp32 EMA shadow — is built inside ONE jitted, donated call.
+
+    The jit matters at flagship scale: building the state eagerly first
+    materializes the fp32 Adam moments and THEN an extra eager fp32 EMA
+    copy on top of the fp32 params (the allocation spike that OOM'd the
+    859M-param run — runs/sd512_catdog/train_oom1.log). Inside jit, XLA
+    sees the whole allocation at once: the donated fp32 input buffer is
+    reused for the same-shaped fp32 shadow, and no transient copy spikes.
+    """
+
+    # Under jit, a shadow with the SAME dtype as the params would CSE with
+    # the params cast into one XLA value — the output tuple could then
+    # alias params and shadow to one buffer, which the train step's
+    # donation discipline would double-donate. Build such a shadow eagerly
+    # (jnp.array copy=True guarantees a distinct buffer outside jit).
+    ema_in_jit = (ema_decay is not None and param_dtype is not None
+                  and jnp.dtype(ema_dtype) != jnp.dtype(param_dtype))
+
+    def _build(p):
+        p = cast_floating(p, param_dtype)
+        logvar = None
+        if num_timesteps is not None:
+            logvar = jnp.full((num_timesteps,), logvar_init, jnp.float32)
+        opt_params = {"model": p}
+        if learn_logvar and logvar is not None:
+            opt_params["logvar"] = logvar
+        return TrainState(
+            params=p,
+            opt_state=optimizer.init(opt_params if learn_logvar else p),
+            ema=(ema_init(p, ema_decay, dtype=ema_dtype)
+                 if ema_decay is not None and ema_in_jit else None),
+            step=jnp.asarray(0, jnp.int32),
+            logvar=logvar,
+        )
+
+    if param_dtype is not None and jnp.dtype(param_dtype) != jnp.float32:
+        state = jax.jit(_build, donate_argnums=0)(params)
+    else:
+        state = _build(params)
+    if ema_decay is not None and not ema_in_jit:
+        state = dataclasses.replace(
+            state, ema=ema_init(state.params, ema_decay, dtype=ema_dtype))
+    return state
 
 
 def make_diffusion_train_step(
@@ -128,7 +201,10 @@ def make_diffusion_train_step(
 
         ema = ema_update(state.ema, params) if state.ema is not None else None
         logs = dict(logs)
-        logs["grad_norm"] = optax.global_norm(grads)
+        # fp32 accumulation: under the bf16 param policy the grads are bf16
+        # and a same-dtype sum-of-squares over 10⁸ leaves loses the norm
+        logs["grad_norm"] = optax.global_norm(
+            jax.tree.map(lambda g: g.astype(jnp.float32), grads))
         new_state = TrainState(
             params=params, opt_state=opt_state, ema=ema,
             step=state.step + 1, logvar=logvar,

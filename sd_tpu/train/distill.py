@@ -46,13 +46,21 @@ PyTree = Any
 
 def load_teacher_params(cfg: dict, teacher_run: str, template: PyTree) -> PyTree:
     """EMA UNet weights from a finished train_ldm run directory (the same
-    restore path as Text2ImagePipeline.from_run, pipeline.py:118-158)."""
-    ckpt_dir = os.path.join(teacher_run, "ckpt")
-    state = init_train_state(template, ddpm_optimizer(1e-4),
-                             cfg["train"].get("ema_decay", 0.9999),
-                             num_timesteps=cfg["diffusion"]["timesteps"])
-    state = restore_checkpoint(ckpt_dir, state)
-    return state.ema.shadow if state.ema is not None else state.params
+    restore path as Text2ImagePipeline.from_run, pipeline.py:118-158),
+    cast to the template's dtypes (bf16 under the param_dtype policy).
+
+    Restores the raw pytree rather than a full TrainState: materializing a
+    throwaway optimizer+EMA state for an 859M-param teacher would spike
+    ~10 GB of HBM before the student state is even built."""
+    from sd_tpu.train.checkpoint import restore_pytree
+
+    tree = restore_pytree(os.path.join(teacher_run, "ckpt"))
+    ema_t = tree.get("ema") if isinstance(tree, dict) else None
+    loaded = (ema_t["shadow"]
+              if isinstance(ema_t, dict) and ema_t.get("shadow") is not None
+              else tree["params"])
+    return jax.tree.map(lambda s, p: jnp.asarray(s, p.dtype), loaded,
+                        template)
 
 
 def make_consistency_train_step(loss_fn, optimizer: optax.GradientTransformation,
@@ -136,7 +144,22 @@ def distill_ldm(config: dict | str, data_dir: str,
     dc = cfg["distill"]
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
 
-    ld, unet, uparams, vae, vparams, clip = build_ldm(cfg, rng)
+    # mixed-precision policy at the flagship shape (train.param_dtype:
+    # bfloat16): teacher + student params and compute in bf16, Adam
+    # moments fp32. The consistency TARGET network (the state's EMA,
+    # decay ~0.95) also drops to bf16 — it is fast-moving, so fp32
+    # accumulation precision isn't load-bearing, and a second fp32 copy
+    # of an 859M-param student would not fit next to the teacher.
+    param_dtype = tc.get("param_dtype")
+    ema_dtype = jnp.float32
+    if param_dtype is not None:
+        param_dtype = jnp.dtype(param_dtype)
+        ema_dtype = jnp.dtype(dc.get("target_ema_dtype", param_dtype))
+        cfg["unet"].setdefault("params", {}).setdefault(
+            "dtype", param_dtype.name)  # str: keeps cfg YAML-dumpable
+
+    ld, unet, uparams, vae, vparams, clip = build_ldm(
+        cfg, rng, param_dtype=param_dtype)
     if getattr(ld.process, "is_flow", False):
         raise ValueError("consistency distillation needs a DDPM-schedule "
                          "teacher (diffusion.type: ddpm), not a flow model")
@@ -235,8 +258,22 @@ def distill_ldm(config: dict | str, data_dir: str,
 
     opt = ddpm_optimizer(_make_lr(tc), tc.get("grad_clip", 1.0),
                          weight_decay=tc.get("weight_decay", 0.0))
+    if param_dtype is not None and param_dtype != jnp.float32:
+        from sd_tpu.train.diffusion import float32_moments
+
+        opt = float32_moments(opt)
+    remat_policy = tc.get("remat")
+    if remat_policy and remat_policy != "none":
+        import dataclasses as _dc
+
+        from sd_tpu.train.remat import remat_apply
+
+        ld = _dc.replace(ld, unet_apply=remat_apply(ld.unet_apply,
+                                                    remat_policy))
     state = init_train_state(student_params, opt,
-                             float(dc.get("target_ema_decay", 0.95)))
+                             float(dc.get("target_ema_decay", 0.95)),
+                             param_dtype=param_dtype, ema_dtype=ema_dtype)
+    del student_params  # possibly donated into the state init
     state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
     step_fn = make_consistency_train_step(loss_fn, opt, prep_fn=prep_fn)
 

@@ -71,7 +71,19 @@ def init_gan_state(
     opt_d: optax.GradientTransformation,
     logvar_init: float = 0.0,
     model_state: PyTree | None = None,
+    param_dtype=None,
 ) -> GanTrainState:
+    """`param_dtype` (e.g. "bfloat16") stores generator AND discriminator
+    params in that dtype — the same mixed-precision policy as the diffusion
+    TrainState (train/diffusion.py); pair it with float32_moments-wrapped
+    optimizers. The learned logvar and any batch stats stay fp32."""
+    if param_dtype is not None:
+        from sd_tpu.train.diffusion import cast_floating
+
+        model_params = cast_floating(model_params, param_dtype)
+        disc_variables = dict(disc_variables)
+        disc_variables["params"] = cast_floating(disc_variables["params"],
+                                                 param_dtype)
     params_g = {
         "model": model_params,
         "logvar": jnp.asarray(logvar_init, jnp.float32),

@@ -180,6 +180,14 @@ def train_kl_vae(config: dict | str, data_dir: str, out_dir: str = "runs/klvae",
     tc = cfg["train"]
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
 
+    # same mixed-precision policy as train_ldm: bf16 param storage and
+    # generator compute, fp32 Adam moments (train/diffusion.py docstrings)
+    param_dtype = tc.get("param_dtype")
+    if param_dtype is not None:
+        param_dtype = jnp.dtype(param_dtype)
+        cfg["model"].setdefault("params", {}).setdefault(
+            "dtype", param_dtype.name)  # str: keeps cfg YAML-dumpable
+
     vae = instantiate_from_config(cfg["model"])
     disc = NLayerDiscriminator(**cfg.get("discriminator", {}))
     loss_kwargs = dict(cfg.get("loss", {}))
@@ -197,7 +205,12 @@ def train_kl_vae(config: dict | str, data_dir: str, out_dir: str = "runs/klvae",
 
     opt_g = gan_adam(tc.get("lr", 4.5e-6))
     opt_d = gan_adam(tc.get("lr", 4.5e-6))
-    state = init_gan_state(vparams, dvars, opt_g, opt_d)
+    if param_dtype is not None and param_dtype != jnp.float32:
+        from sd_tpu.train.diffusion import float32_moments
+
+        opt_g, opt_d = float32_moments(opt_g), float32_moments(opt_d)
+    state = init_gan_state(vparams, dvars, opt_g, opt_d,
+                           param_dtype=param_dtype)
     state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
 
     ae_apply = lambda p, x, r: vae.apply({"params": p}, x, r)
@@ -230,6 +243,13 @@ def train_vq(config: dict | str, data_dir: str, out_dir: str = "runs/vq",
     tc = cfg["train"]
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
 
+    # same mixed-precision policy as train_ldm/train_kl_vae
+    param_dtype = tc.get("param_dtype")
+    if param_dtype is not None:
+        param_dtype = jnp.dtype(param_dtype)
+        cfg["model"].setdefault("params", {}).setdefault(
+            "dtype", param_dtype.name)  # str: keeps cfg YAML-dumpable
+
     vq = instantiate_from_config(cfg["model"])
     disc = NLayerDiscriminator(**cfg.get("discriminator", {}))
     loss_kwargs = dict(cfg.get("loss", {}))
@@ -250,7 +270,12 @@ def train_vq(config: dict | str, data_dir: str, out_dir: str = "runs/vq",
 
     opt_g = gan_adam(tc.get("lr", 4.5e-6))
     opt_d = gan_adam(tc.get("lr", 4.5e-6))
-    state = init_gan_state(vparams, dvars, opt_g, opt_d, model_state=mstate)
+    if param_dtype is not None and param_dtype != jnp.float32:
+        from sd_tpu.train.diffusion import float32_moments
+
+        opt_g, opt_d = float32_moments(opt_g), float32_moments(opt_d)
+    state = init_gan_state(vparams, dvars, opt_g, opt_d, model_state=mstate,
+                           param_dtype=param_dtype)
     state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
 
     qt = getattr(vq, "quantizer_type", "vq")
@@ -323,8 +348,17 @@ def _build_first_stage(fs_cfg: dict, rng: jax.Array, pix: int):
         loaded = (restored["params_g"]["model"]
                   if isinstance(restored, dict) and "params_g" in restored
                   else restored)
-        # structure check against the freshly-initialized tree
-        jax.tree.map(lambda a, b: None, vparams, loaded)
+        # structure AND shape check against the freshly-initialized tree —
+        # a same-structure checkpoint from a different-width VAE must fail
+        # here with a readable error, not later inside apply
+        def _check_leaf(a, b):
+            if tuple(a.shape) != tuple(b.shape):
+                raise ValueError(
+                    f"first-stage ckpt leaf shape {tuple(b.shape)} != "
+                    f"model shape {tuple(a.shape)} — wrong checkpoint for "
+                    f"this first_stage config?")
+
+        jax.tree.map(_check_leaf, vparams, loaded)
         vparams = loaded
         print(f"[ldm] first stage loaded from {fs_ckpt}")
     encode_fn = (
@@ -349,9 +383,14 @@ def first_stage_factor(fs_cfg: dict) -> int:
     return 2 ** (len(fs_cfg["params"].get("ch_mult", [1, 2, 4, 4])) - 1)
 
 
-def build_ldm(cfg: dict, rng: jax.Array):
+def build_ldm(cfg: dict, rng: jax.Array, param_dtype=None):
     """Assemble the text-to-image LatentDiffusion stack from config.
-    Returns (ld, unet, unet_params, vae, vae_params, clip)."""
+    Returns (ld, unet, unet_params, vae, vae_params, clip).
+
+    `param_dtype` (e.g. jnp.bfloat16) initializes the UNet params directly
+    in that dtype inside one jitted call, so no full-precision copy of an
+    859M-param UNet is ever materialized in HBM (the fp32 init + cast
+    two-step would transiently hold both)."""
     from sd_tpu.diffusion.latent import LatentDiffusion
     from sd_tpu.models.clip_text import ClipTextConfig, FrozenClipTextEmbedder
 
@@ -368,10 +407,18 @@ def build_ldm(cfg: dict, rng: jax.Array):
     # the UNet may take more than the latent channels (inpainting models
     # concat the mask + masked-image latent: in_channels = 2·z + 1)
     want_in = cfg["unet"].get("params", {}).get("in_channels", ch)
-    uparams = unet.init(
-        r2, jnp.zeros((1, size, size, want_in)), jnp.zeros((1,), jnp.int32),
-        jnp.zeros((1, clip_cfg.max_length, clip_cfg.hidden_size)),
-    )["params"]
+
+    def _init_unet(r):
+        from sd_tpu.train.diffusion import cast_floating
+
+        p = unet.init(
+            r, jnp.zeros((1, size, size, want_in)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, clip_cfg.max_length, clip_cfg.hidden_size)),
+        )["params"]
+        return cast_floating(p, param_dtype)
+
+    uparams = jax.jit(_init_unet)(r2)
 
     diff_cfg = dict(cfg.get("diffusion", {}))
     min_snr = diff_cfg.pop("min_snr_gamma", None)
@@ -433,8 +480,23 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
     tc = cfg["train"]
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
 
-    ld, unet, uparams, vae, vparams, clip = build_ldm(cfg, rng)
-    print(f"[ldm] unet params: {count_params(uparams)/1e6:.1f}M")
+    # Mixed-precision memory policy (train.param_dtype: bfloat16): params
+    # and compute in bf16, Adam moments and the EMA shadow in fp32 — the
+    # production shape that fits the 859M-param SD UNet's full training
+    # state on one 16 GB chip (BASELINE.md round-1 probe: 236 ms/step,
+    # loss matches fp32 params to 3 decimals). The reference's analog is
+    # Lightning's precision="16-mixed" (Diffusion/main.py:118-123).
+    param_dtype = tc.get("param_dtype")
+    if param_dtype is not None:
+        param_dtype = jnp.dtype(param_dtype)
+        # compute dtype follows the storage dtype unless the config pins one
+        cfg["unet"].setdefault("params", {}).setdefault(
+            "dtype", param_dtype.name)  # str: keeps cfg YAML-dumpable
+
+    ld, unet, uparams, vae, vparams, clip = build_ldm(
+        cfg, rng, param_dtype=param_dtype)
+    print(f"[ldm] unet params: {count_params(uparams)/1e6:.1f}M"
+          + (f" ({jnp.dtype(param_dtype).name})" if param_dtype else ""))
 
     if tc.get("noise_offset"):
         ld = _dc.replace(ld, noise_offset=float(tc["noise_offset"]))
@@ -472,6 +534,10 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
 
     opt = ddpm_optimizer(_make_lr(tc), tc.get("grad_clip", 1.0),
                          weight_decay=tc.get("weight_decay", 0.0))
+    if param_dtype is not None and param_dtype != jnp.float32:
+        from sd_tpu.train.diffusion import float32_moments
+
+        opt = float32_moments(opt)
     learn_logvar = tc.get("learn_logvar", False)
 
     lora_cfg = cfg.get("lora")
@@ -703,10 +769,23 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
             out["txt_emb"] = clip(texts)
             return out
 
+    # rematerialization policy (train.remat: dots|nothing) — required at
+    # the flagship shape: without it the 512²-pixel/64²-latent backward
+    # pass holds every transformer activation (reference analog: the
+    # CheckpointFunction gradient checkpointing, openai_model/utils.py:160)
+    remat_policy = tc.get("remat")
+    if remat_policy and remat_policy != "none":
+        from sd_tpu.train.remat import remat_apply
+
+        ld = _dc.replace(ld, unet_apply=remat_apply(ld.unet_apply,
+                                                    remat_policy))
+
     state = init_train_state(
         train_params, opt, tc.get("ema_decay", 0.9999),
         num_timesteps=ld.schedule.num_timesteps, learn_logvar=learn_logvar,
+        param_dtype=param_dtype,
     )
+    del train_params, uparams  # possibly donated into the state init
     state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
 
     step_fn, state = _maybe_parallel_step(cfg, loss_fn, opt, state,
