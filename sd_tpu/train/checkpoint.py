@@ -105,8 +105,25 @@ def restore_pytree(ckpt_dir: str, step: int | None = None) -> PyTree:
 
 def auto_resume(ckpt_dir: str, state: PyTree) -> tuple[PyTree, int]:
     """Resume-from-latest if a checkpoint exists, else return `state` as-is.
-    Returns (state, start_step). The preemption-recovery path for long runs."""
+    Returns (state, start_step). The preemption-recovery path for long runs.
+
+    `state` may be the concrete fresh train state OR a zero-argument thunk
+    that builds it. Pass the thunk: when a checkpoint exists the thunk is
+    traced with `jax.eval_shape` — zero device allocation — and the
+    checkpoint restores straight into fresh buffers. A concrete fresh state
+    stays resident on device for the whole restore (double residency), and
+    any init-time arrays the caller's frame keeps alive (module.init
+    outputs) stay resident for the whole RUN: that extra footprint is what
+    OOM'd the klf8_refresh 256² GAN resume on a 15.75 GB chip
+    (runs/klf8_refresh/train.log, three identical step-1001 OOMs), and at
+    the 859M-param flagship shape the fp32 double residency alone would be
+    ~7 GB. The concrete form is kept for small models / tests."""
     step = latest_step(ckpt_dir)
+    if callable(state):
+        if step is None:
+            return state(), 0
+        abstract = jax.eval_shape(state)
+        return restore_checkpoint(ckpt_dir, abstract, step), step
     if step is None:
         return state, 0
     return restore_checkpoint(ckpt_dir, state, step), step

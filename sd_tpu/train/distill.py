@@ -270,11 +270,16 @@ def distill_ldm(config: dict | str, data_dir: str,
 
         ld = _dc.replace(ld, unet_apply=remat_apply(ld.unet_apply,
                                                     remat_policy))
-    state = init_train_state(student_params, opt,
-                             float(dc.get("target_ema_decay", 0.95)),
-                             param_dtype=param_dtype, ema_dtype=ema_dtype)
+    def fresh_state():
+        # thunk: on resume auto_resume eval_shape-traces this so the fresh
+        # student state (bf16 params + fp32 Adam + target shadow ≈ 10 GB at
+        # the 859M flagship) is never allocated next to the restored copy
+        return init_train_state(student_params, opt,
+                                float(dc.get("target_ema_decay", 0.95)),
+                                param_dtype=param_dtype, ema_dtype=ema_dtype)
+
+    state, start = auto_resume(os.path.join(out_dir, "ckpt"), fresh_state)
     del student_params  # possibly donated into the state init
-    state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
     step_fn = make_consistency_train_step(loss_fn, opt, prep_fn=prep_fn)
 
     lat = cfg["latent"]

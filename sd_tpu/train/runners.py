@@ -134,12 +134,15 @@ def train_ddpm(config: dict | str, data_dir: str, out_dir: str = "runs/ddpm",
 
     size = tc.get("image_size", 256)
     dummy = jnp.zeros((1, size, size, model.out_channels))
-    params = model.init(rng, dummy, jnp.zeros((1,), jnp.int32))["params"]
-    print(f"[ddpm] params: {count_params(params)/1e6:.1f}M")
-
     opt = ddpm_optimizer(_make_lr(tc), tc.get("grad_clip", 1.0))
-    state = init_train_state(params, opt, tc.get("ema_decay", 0.9999))
-    state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
+
+    def fresh_state():
+        # thunk: eval_shape-traced on resume (see auto_resume docstring)
+        params = model.init(rng, dummy, jnp.zeros((1,), jnp.int32))["params"]
+        return init_train_state(params, opt, tc.get("ema_decay", 0.9999))
+
+    state, start = auto_resume(os.path.join(out_dir, "ckpt"), fresh_state)
+    print(f"[ddpm] params: {count_params(state.params)/1e6:.1f}M")
 
     def loss_fn(p, batch, rng, logvar):
         model_fn = lambda x, t, c: model.apply(
@@ -199,9 +202,6 @@ def train_kl_vae(config: dict | str, data_dir: str, out_dir: str = "runs/klvae",
 
     size = tc.get("image_size", 256)
     dummy = jnp.zeros((1, size, size, 3))
-    vparams = vae.init(rng, dummy, rng)["params"]
-    dvars = disc.init(rng, dummy)
-    print(f"[kl-vae] params: {count_params(vparams)/1e6:.1f}M")
 
     opt_g = gan_adam(tc.get("lr", 4.5e-6))
     opt_d = gan_adam(tc.get("lr", 4.5e-6))
@@ -209,9 +209,19 @@ def train_kl_vae(config: dict | str, data_dir: str, out_dir: str = "runs/klvae",
         from sd_tpu.train.diffusion import float32_moments
 
         opt_g, opt_d = float32_moments(opt_g), float32_moments(opt_d)
-    state = init_gan_state(vparams, dvars, opt_g, opt_d,
-                           param_dtype=param_dtype)
-    state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
+
+    def fresh_state():
+        # inside the thunk so a resume never materializes these on device
+        # (auto_resume traces this with eval_shape) and the fresh path
+        # leaves no init arrays alive in this frame for the whole run
+        vparams = vae.init(rng, dummy, rng)["params"]
+        dvars = disc.init(rng, dummy)
+        return init_gan_state(vparams, dvars, opt_g, opt_d,
+                              param_dtype=param_dtype)
+
+    state, start = auto_resume(os.path.join(out_dir, "ckpt"), fresh_state)
+    print(f"[kl-vae] params: "
+          f"{count_params(state.params_g['model'])/1e6:.1f}M")
 
     ae_apply = lambda p, x, r: vae.apply({"params": p}, x, r)
     step_fn, state = _maybe_parallel_gan_step(
@@ -262,11 +272,6 @@ def train_vq(config: dict | str, data_dir: str, out_dir: str = "runs/vq",
 
     size = tc.get("image_size", 256)
     dummy = jnp.zeros((1, size, size, 3))
-    variables = vq.init(rng, dummy)
-    vparams = variables["params"]
-    mstate = {k: v for k, v in variables.items() if k != "params"}
-    dvars = disc.init(rng, dummy)
-    print(f"[vq] params: {count_params(vparams)/1e6:.1f}M")
 
     opt_g = gan_adam(tc.get("lr", 4.5e-6))
     opt_d = gan_adam(tc.get("lr", 4.5e-6))
@@ -274,9 +279,18 @@ def train_vq(config: dict | str, data_dir: str, out_dir: str = "runs/vq",
         from sd_tpu.train.diffusion import float32_moments
 
         opt_g, opt_d = float32_moments(opt_g), float32_moments(opt_d)
-    state = init_gan_state(vparams, dvars, opt_g, opt_d, model_state=mstate,
-                           param_dtype=param_dtype)
-    state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
+
+    def fresh_state():
+        # thunk: eval_shape-traced on resume (see auto_resume docstring)
+        variables = vq.init(rng, dummy)
+        vparams = variables["params"]
+        mstate = {k: v for k, v in variables.items() if k != "params"}
+        dvars = disc.init(rng, dummy)
+        return init_gan_state(vparams, dvars, opt_g, opt_d,
+                              model_state=mstate, param_dtype=param_dtype)
+
+    state, start = auto_resume(os.path.join(out_dir, "ckpt"), fresh_state)
+    print(f"[vq] params: {count_params(state.params_g['model'])/1e6:.1f}M")
 
     qt = getattr(vq, "quantizer_type", "vq")
     if qt in ("gumbel", "ema"):
@@ -780,13 +794,18 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
         ld = _dc.replace(ld, unet_apply=remat_apply(ld.unet_apply,
                                                     remat_policy))
 
-    state = init_train_state(
-        train_params, opt, tc.get("ema_decay", 0.9999),
-        num_timesteps=ld.schedule.num_timesteps, learn_logvar=learn_logvar,
-        param_dtype=param_dtype,
-    )
+    def fresh_state():
+        # thunk: on resume auto_resume eval_shape-traces this, so the fresh
+        # Adam moments + EMA shadow (≈10 GB fp32 at the 859M flagship) are
+        # never allocated next to the restored copy
+        return init_train_state(
+            train_params, opt, tc.get("ema_decay", 0.9999),
+            num_timesteps=ld.schedule.num_timesteps,
+            learn_logvar=learn_logvar, param_dtype=param_dtype,
+        )
+
+    state, start = auto_resume(os.path.join(out_dir, "ckpt"), fresh_state)
     del train_params, uparams  # possibly donated into the state init
-    state, start = auto_resume(os.path.join(out_dir, "ckpt"), state)
 
     step_fn, state = _maybe_parallel_step(cfg, loss_fn, opt, state,
                                           learn_logvar=learn_logvar,
