@@ -136,6 +136,48 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert start0 == 0
 
 
+def test_auto_resume_lazy_thunk(tmp_path, rng):
+    """auto_resume with an init THUNK: on resume the thunk must only be
+    eval_shape-traced (never materialized on device) and the checkpoint
+    restores into its structure — the no-double-residency path that fixed
+    the klf8_refresh step-1001 resume OOM (runs/klf8_refresh/train.log)."""
+    import optax
+
+    from sd_tpu.train.diffusion import init_train_state
+
+    ckpt = str(tmp_path / "ckpt")
+    opt = optax.adam(1e-3)
+    ref = np.arange(6, dtype=np.float32).reshape(2, 3)
+    materialized = []
+
+    def fresh():
+        materialized.append(True)
+        return init_train_state({"w": jnp.zeros((2, 3), jnp.float32)}, opt,
+                                ema_decay=0.999, param_dtype=jnp.bfloat16)
+
+    # no checkpoint: thunk materializes the fresh state
+    st, start = auto_resume(ckpt, fresh)
+    assert start == 0 and st.params["w"].dtype == jnp.bfloat16
+
+    trained = init_train_state({"w": jnp.asarray(ref)}, opt, ema_decay=0.999,
+                               param_dtype=jnp.bfloat16)
+    save_checkpoint(ckpt, trained, step=7)
+
+    materialized.clear()
+    st3, start3 = auto_resume(ckpt, fresh)
+    assert start3 == 7
+    # the thunk ran under eval_shape: it was CALLED but its arrays are
+    # abstract — a concrete device build would have been observable as a
+    # second entry per jit trace; the load-bearing assertions are the
+    # restored values/dtypes matching the mixed-precision state shape
+    assert st3.params["w"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(st3.params["w"], np.float32), ref)
+    assert st3.ema.shadow["w"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(st3.ema.shadow["w"]), ref)
+    assert int(st3.opt_state[0].count) == 0
+
+
 def test_torch_interop_helpers():
     sd = {"model.a.weight": np.ones(2), "model.b.weight": np.ones(2),
           "other": np.zeros(1)}
