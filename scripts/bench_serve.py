@@ -63,21 +63,31 @@ def run_row(name: str, port: int, batcher, body: dict, clients: int,
         "an oil painting of a cat", "a sketch of a dog",
     ]
 
-    # -- warmup / compile: one request per bucket size the phases will hit
-    #    (bucket = next pow2 of group size; sequential hits 1, concurrent
-    #    hits up to max_batch). Compile time is reported, not timed in.
+    # -- warmup / compile: one request group per pow2 bucket size the
+    #    phases can hit (bucket = next pow2 of group size; sequential hits
+    #    1, concurrent hits max_batch for full groups but also 2/3-sized
+    #    TAIL groups when the remaining queue is short — every bucket must
+    #    be compiled before measurement or a mid-phase remote compile
+    #    pollutes p50/p99). Compile time is reported, not timed in.
     t0 = time.perf_counter()
-    _post(port, {**body, "prompt": prompts[0]})
-    barrier = threading.Barrier(batcher.max_batch)
+    nb = 1
+    while True:
+        if nb == 1:
+            _post(port, {**body, "prompt": prompts[0]})
+        else:
+            barrier = threading.Barrier(nb)
 
-    def warm(i):
-        barrier.wait()
-        _post(port, {**body, "prompt": prompts[i % len(prompts)]})
+            def warm(i):
+                barrier.wait()
+                _post(port, {**body, "prompt": prompts[i % len(prompts)]})
 
-    ws = [threading.Thread(target=warm, args=(i,))
-          for i in range(batcher.max_batch)]
-    [w.start() for w in ws]
-    [w.join() for w in ws]
+            ws = [threading.Thread(target=warm, args=(i,))
+                  for i in range(nb)]
+            [w.start() for w in ws]
+            [w.join() for w in ws]
+        if nb >= batcher.max_batch:
+            break
+        nb = min(nb * 2, batcher.max_batch)
     compile_s = time.perf_counter() - t0
 
     # -- phase 1: sequential single client (baseline latency, no batching)
