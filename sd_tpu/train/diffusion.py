@@ -155,7 +155,16 @@ def make_diffusion_train_step(
     """
 
     def _accum_grads(lf, opt_params, batch, rng):
-        """Mean (loss, logs), grads over `grad_accum` microbatches."""
+        """Mean (loss, logs), grads over `grad_accum` microbatches.
+
+        lax.scan, NOT an unrolled Python loop: the carry dependency forces
+        XLA to run the microbatches strictly sequentially, so only ONE
+        microbatch's backward temps are ever live. The unrolled form lets
+        the latency-hiding scheduler interleave all the chunks' rematted
+        backwards — measured at the 859M/512² flagship shape, the total
+        HLO temp stayed ~5G whether the microbatch was 4 or 1
+        (runs/sd512_catdog/train.log compile reports 15:10 vs 15:35), so
+        unrolled grad accumulation saves nothing."""
         if grad_accum <= 1:
             return jax.value_and_grad(lf, has_aux=True)(opt_params, batch, rng)
 
@@ -168,12 +177,18 @@ def make_diffusion_train_step(
 
         micro = jax.tree.map(split, batch)
         mrngs = jax.random.split(rng, grad_accum)
-        out = None
-        for i in range(grad_accum):
-            mb = jax.tree.map(lambda x: x[i], micro)
-            res = jax.value_and_grad(lf, has_aux=True)(opt_params, mb,
-                                                       mrngs[i])
-            out = res if out is None else jax.tree.map(jnp.add, out, res)
+        vag = jax.value_and_grad(lf, has_aux=True)
+        zero = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(vag, opt_params,
+                           jax.tree.map(lambda x: x[0], micro), mrngs[0]))
+
+        def body(acc, xs):
+            mb, r = xs
+            res = vag(opt_params, mb, r)
+            return jax.tree.map(jnp.add, acc, res), None
+
+        out, _ = jax.lax.scan(body, zero, (micro, mrngs))
         return jax.tree.map(lambda x: x / grad_accum, out)
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
