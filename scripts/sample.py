@@ -78,7 +78,6 @@ def main():
     import numpy as np
 
     from sd_tpu.core.config import load_yaml
-    from sd_tpu.train.checkpoint import restore_checkpoint
     from sd_tpu.train.metrics import save_image_grid
     from sd_tpu.train.runners import build_ldm
 
@@ -92,19 +91,28 @@ def main():
         _sample_ddpm(cfg, args, rng)
         return
 
-    ld, unet, uparams, vae, vparams, clip = build_ldm(cfg, rng)
+    # honor the training memory policy: a bf16-params run samples in bf16
+    # (2× HBM headroom + MXU rate; numerics identical to the train compute)
+    pd = cfg.get("train", {}).get("param_dtype")
+    ld, unet, uparams, vae, vparams, clip = build_ldm(
+        cfg, rng, param_dtype=jnp.dtype(pd) if pd else None)
 
     if args.ckpt:
-        from sd_tpu.train.diffusion import init_train_state
-        from sd_tpu.train.diffusion import ddpm_optimizer
+        from sd_tpu.train.checkpoint import restore_pytree
 
-        state = init_train_state(uparams, ddpm_optimizer(1e-4),
-                                 num_timesteps=ld.schedule.num_timesteps)
-        state = restore_checkpoint(args.ckpt, state)
-        # sample with EMA weights when available (the reference's ema_scope)
-        uparams = (state.ema.shadow if state.ema is not None else state.params)
-        uparams = jax.tree.map(lambda s, p: s.astype(p.dtype), uparams,
-                               state.params)
+        # raw-pytree restore STAGED ON HOST: a full TrainState template +
+        # on-device restore is ~24 GB at the 859M flagship shape (the
+        # checkpoint alone is ~12 GB with Adam moments + EMA); only the
+        # EMA/params subtree belongs in HBM (the reference's ema_scope)
+        tree = restore_pytree(args.ckpt, device="cpu")
+        ema_t = tree.get("ema") if isinstance(tree, dict) else None
+        src = (ema_t["shadow"]
+               if isinstance(ema_t, dict) and ema_t.get("shadow") is not None
+               else tree["params"])
+        uparams = jax.device_put(
+            jax.tree.map(lambda s, p: s.astype(p.dtype), src, uparams),
+            jax.devices()[0])
+        del tree, src
 
     from sd_tpu.train.runners import apply_calibration
 

@@ -144,15 +144,18 @@ class Text2ImagePipeline:
         # raw-pytree restore: rebuilding the full TrainState (optimizer
         # moments + EMA) as a template would spike ~4× the param bytes in
         # HBM at serving-load time — fatal at the 859M-param flagship shape
-        tree = restore_pytree(ckpt_dir)
+        # staged on HOST: the flagship checkpoint is ~12 GB with Adam
+        # moments + EMA; only the EMA subtree belongs in HBM at serving
+        tree = restore_pytree(ckpt_dir, device="cpu")
         ema_t = tree.get("ema") if isinstance(tree, dict) else None
         uparams = (ema_t["shadow"]
                    if isinstance(ema_t, dict)
                    and ema_t.get("shadow") is not None
                    else tree["params"])
-        pipe.unet_params = jax.tree.map(
-            lambda s, p: jnp.asarray(s, p.dtype), uparams,
-            pipe.unet_params)
+        pipe.unet_params = jax.device_put(
+            jax.tree.map(lambda s, p: s.astype(p.dtype), uparams,
+                         pipe.unet_params),
+            jax.devices()[0])
         pipe.ld = apply_calibration(pipe.ld, cfg, ckpt_dir)
 
         if dtype is not None:

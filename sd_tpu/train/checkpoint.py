@@ -73,7 +73,8 @@ def restore_checkpoint(ckpt_dir: str, target: PyTree, step: int | None = None) -
     return out
 
 
-def restore_pytree(ckpt_dir: str, step: int | None = None) -> PyTree:
+def restore_pytree(ckpt_dir: str, step: int | None = None, *,
+                   device: str | None = None) -> PyTree:
     """Restore a checkpoint WITHOUT a live target tree: structure, shapes and
     dtypes come from the checkpoint's own metadata, placed on the default
     device (so a TPU-written checkpoint restores on CPU and vice versa).
@@ -81,10 +82,19 @@ def restore_pytree(ckpt_dir: str, step: int | None = None) -> PyTree:
     This is the cross-task loading path — e.g. an LDM pulling the trained
     first-stage params out of a KL-VAE GAN checkpoint by directory alone
     (the reference loads its first stage from a torch ckpt path:
-    instantiate_first_stage + init_from_ckpt, ldm/diffusion/ddpm.py:269-293)."""
+    instantiate_first_stage + init_from_ckpt, ldm/diffusion/ddpm.py:269-293).
+
+    `device="cpu"` stages the restore in HOST memory instead of the default
+    device: a full flagship train-state checkpoint is ~12 GB (bf16 params +
+    fp32 Adam moments + fp32 EMA) and restoring it into HBM just to pull
+    out the EMA subtree evicts the working set on a 15.75 GB chip. Callers
+    staging on cpu must `jax.device_put` whatever subtree they keep —
+    cpu-committed arrays are NOT valid inputs to TPU-jitted programs."""
     import orbax.checkpoint as ocp
 
-    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    dev = (jax.local_devices(backend="cpu")[0] if device == "cpu"
+           else jax.devices()[0])
+    sharding = jax.sharding.SingleDeviceSharding(dev)
     with ocp.CheckpointManager(
             os.path.abspath(ckpt_dir),
             options=ocp.CheckpointManagerOptions(create=False),

@@ -54,13 +54,17 @@ def load_teacher_params(cfg: dict, teacher_run: str, template: PyTree) -> PyTree
     ~10 GB of HBM before the student state is even built."""
     from sd_tpu.train.checkpoint import restore_pytree
 
-    tree = restore_pytree(os.path.join(teacher_run, "ckpt"))
+    # staged on HOST: the flagship teacher's checkpoint is ~12 GB with its
+    # Adam moments + EMA; only the EMA subtree (bf16: 1.7 GB) belongs in
+    # HBM next to the student train state
+    tree = restore_pytree(os.path.join(teacher_run, "ckpt"), device="cpu")
     ema_t = tree.get("ema") if isinstance(tree, dict) else None
     loaded = (ema_t["shadow"]
               if isinstance(ema_t, dict) and ema_t.get("shadow") is not None
               else tree["params"])
-    return jax.tree.map(lambda s, p: jnp.asarray(s, p.dtype), loaded,
-                        template)
+    return jax.device_put(
+        jax.tree.map(lambda s, p: s.astype(p.dtype), loaded, template),
+        jax.devices()[0])
 
 
 def make_consistency_train_step(loss_fn, optimizer: optax.GradientTransformation,
