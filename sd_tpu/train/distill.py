@@ -68,11 +68,20 @@ def load_teacher_params(cfg: dict, teacher_run: str, template: PyTree) -> PyTree
 
 
 def make_consistency_train_step(loss_fn, optimizer: optax.GradientTransformation,
-                                prep_fn=None, jit: bool = True):
+                                prep_fn=None, jit: bool = True,
+                                grad_accum: int = 1):
     """(state, batch, rng) -> (state, logs) where
     loss_fn(params, target_params, prepped, rng) -> (loss, logs) and
     target_params is the state's EMA shadow — updated AFTER the gradient
     step, per the consistency-distillation two-timescale recipe.
+
+    grad_accum > 1 splits the prepped batch into microbatches and
+    lax.scans the student backward over them (ONE optimizer + target-EMA
+    update; same strict-sequencing rationale as
+    diffusion.make_diffusion_train_step — the carry dependency keeps only
+    one microbatch's backward temps live, which is what lets the 859M
+    student + frozen teacher fit a 15.75 GB chip at the 512² flagship
+    shape). The LCM-LoRA `base` tree rides through unsplit.
 
     prep_fn(batch, rng) -> prepped (optional) runs the gradient-free work
     (first-stage encode + teacher solver step) as its OWN program:
@@ -85,16 +94,58 @@ def make_consistency_train_step(loss_fn, optimizer: optax.GradientTransformation
     teacher), which is what actually trips the size limit. Without
     prep_fn, `prepped` is the raw batch."""
 
+    def _accum_grads(params, target, prepped, rng):
+        if grad_accum <= 1:
+            return jax.value_and_grad(loss_fn, has_aux=True)(
+                params, target, prepped, rng)
+        # the LCM-LoRA frozen base has no batch dim — pass it through
+        passthrough = {}
+        if isinstance(prepped, dict) and "base" in prepped:
+            prepped = dict(prepped)
+            passthrough["base"] = prepped.pop("base")
+
+        def split(x):
+            assert x.shape[0] % grad_accum == 0, (
+                f"batch dim {x.shape[0]} not divisible by "
+                f"grad_accum={grad_accum}")
+            return x.reshape(
+                (grad_accum, x.shape[0] // grad_accum) + x.shape[1:])
+
+        micro = jax.tree.map(split, prepped)
+        mrngs = jax.random.split(rng, grad_accum)
+
+        def lf(p, mb, r):
+            if passthrough:
+                mb = dict(mb)
+                mb.update(passthrough)
+            return loss_fn(p, target, mb, r)
+
+        vag = jax.value_and_grad(lf, has_aux=True)
+        zero = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(vag, params,
+                           jax.tree.map(lambda x: x[0], micro), mrngs[0]))
+
+        def body(acc, xs):
+            mb, r = xs
+            return jax.tree.map(jnp.add, acc, vag(params, mb, r)), None
+
+        out, _ = jax.lax.scan(body, zero, (micro, mrngs))
+        return jax.tree.map(lambda x: x / grad_accum, out)
+
     def train_step(state: TrainState, prepped, rng: jax.Array):
         target = state.ema.shadow
-        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, target, prepped, rng)
+        (loss, logs), grads = _accum_grads(state.params, target, prepped,
+                                           rng)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
         ema = ema_update(state.ema, params)
         logs = dict(logs)
-        logs["grad_norm"] = optax.global_norm(grads)
+        # fp32 accumulation: under the bf16 param policy the grads are bf16
+        # and a same-dtype sum-of-squares over 10⁸ leaves loses the norm
+        logs["grad_norm"] = optax.global_norm(
+            jax.tree.map(lambda g: g.astype(jnp.float32), grads))
         return TrainState(params=params, opt_state=opt_state, ema=ema,
                           step=state.step + 1, logvar=state.logvar), logs
 
@@ -283,8 +334,14 @@ def distill_ldm(config: dict | str, data_dir: str,
                                 param_dtype=param_dtype, ema_dtype=ema_dtype)
 
     state, start = auto_resume(os.path.join(out_dir, "ckpt"), fresh_state)
-    del student_params  # possibly donated into the state init
-    step_fn = make_consistency_train_step(loss_fn, opt, prep_fn=prep_fn)
+    # free the student init copy: deleting the NAME is not enough — the
+    # thunk's closure cell also holds it, and on resume the 1.7 GB bf16
+    # flagship copy would otherwise stay resident next to the restored
+    # state (the leak that OOM'd every train_ldm resume; see runners.py)
+    del student_params, fresh_state
+    step_fn = make_consistency_train_step(
+        loss_fn, opt, prep_fn=prep_fn,
+        grad_accum=tc.get("grad_accum", 1))
 
     lat = cfg["latent"]
     n_eval_steps = int(dc.get("sample_steps", 2))

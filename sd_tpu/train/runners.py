@@ -805,7 +805,14 @@ def train_ldm(config: dict | str, data_dir: str, out_dir: str = "runs/ldm",
         )
 
     state, start = auto_resume(os.path.join(out_dir, "ckpt"), fresh_state)
-    del train_params, uparams  # possibly donated into the state init
+    # Free the init tree. On the fresh path it was DONATED into the state
+    # inside init_train_state's jit; on RESUME it is still concrete — and
+    # `del train_params` alone does NOT free it, because the thunk's
+    # closure cell keeps the tree alive for the whole run. At the 859M
+    # flagship that leaked bf16 tree is 1.7 GB on a chip with ~1.4 GB of
+    # step headroom: fresh training fit, every resume OOM'd at the first
+    # step (runs/sd512_catdog/train.log, 18:14/18:44 relaunches).
+    del train_params, uparams, fresh_state
 
     step_fn, state = _maybe_parallel_step(cfg, loss_fn, opt, state,
                                           learn_logvar=learn_logvar,

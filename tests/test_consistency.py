@@ -249,6 +249,47 @@ def teacher_run(tmp_path_factory):
     return str(root / "teacher"), str(d)
 
 
+def test_consistency_step_grad_accum_matches_full_batch():
+    """grad_accum=2 consistency step == the full-batch step for a
+    deterministic loss (the microbatched flagship-distill memory path,
+    make_consistency_train_step; chunk-mean == full mean for equal
+    chunks)."""
+    import numpy as np
+
+    from sd_tpu.train.diffusion import ddpm_optimizer, init_train_state
+    from sd_tpu.train.distill import make_consistency_train_step
+
+    def loss_fn(params, target, prepped, rng):
+        pred = params["w"] * prepped["z_hi"]
+        tgt = target["w"] * prepped["z_lo"]
+        loss = jnp.mean((pred - tgt - 1.0) ** 2)
+        return loss, {"loss": loss}
+
+    opt = ddpm_optimizer(1e-2)
+    k = jax.random.PRNGKey(3)
+    prepped = {"z_hi": jax.random.normal(k, (4, 4, 4, 3)),
+               "z_lo": jax.random.normal(jax.random.fold_in(k, 1),
+                                         (4, 4, 4, 3))}
+
+    full = make_consistency_train_step(loss_fn, opt)
+    acc = make_consistency_train_step(loss_fn, opt, grad_accum=2)
+
+    # fresh states per call: the jitted step donates its input buffers
+    mk = lambda: init_train_state({"w": jnp.asarray(0.5)}, opt,
+                                  ema_decay=0.9)
+    s_full, logs_full = full(mk(), prepped, k)
+    s_acc, logs_acc = acc(mk(), prepped, k)
+
+    np.testing.assert_allclose(float(s_acc.params["w"]),
+                               float(s_full.params["w"]), rtol=1e-6)
+    np.testing.assert_allclose(float(logs_acc["loss"]),
+                               float(logs_full["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(logs_acc["grad_norm"]),
+                               float(logs_full["grad_norm"]), rtol=1e-5)
+    np.testing.assert_allclose(float(s_acc.ema.shadow["w"]),
+                               float(s_full.ema.shadow["w"]), rtol=1e-6)
+
+
 def test_distill_ldm_runner(teacher_run, tmp_path):
     """End-to-end runner smoke: distill the tiny teacher; checkpoints,
     metrics, and the few-step eval grid all land."""

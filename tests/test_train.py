@@ -178,6 +178,44 @@ def test_auto_resume_lazy_thunk(tmp_path, rng):
     assert int(st3.opt_state[0].count) == 0
 
 
+def test_resume_thunk_closure_releases_init_params(tmp_path):
+    """The runner resume discipline: a thunk that CAPTURES a concrete init
+    tree (train_ldm / distill_ldm — build_ldm materializes the params
+    before the thunk exists) must release it after auto_resume by deleting
+    BOTH the local name AND the thunk. `del params` alone leaves the
+    closure cell holding the tree for the whole run — at the 859M flagship
+    that leaked 1.7 GB and OOM'd every resume while fresh training fit
+    (runs/sd512_catdog/train.log)."""
+    import gc
+    import weakref
+
+    import optax
+
+    from sd_tpu.train.diffusion import init_train_state
+
+    ckpt = str(tmp_path / "ckpt")
+    opt = optax.adam(1e-3)
+    trained = init_train_state({"w": jnp.ones((2, 3))}, opt, ema_decay=0.999,
+                               param_dtype=jnp.bfloat16)
+    save_checkpoint(ckpt, trained, step=3)
+
+    # the runner frame shape: concrete params captured by the thunk
+    params = {"w": jnp.zeros((2, 3), jnp.float32)}
+    leak_probe = weakref.ref(params["w"])
+
+    def fresh_state():
+        return init_train_state(params, opt, ema_decay=0.999,
+                                param_dtype=jnp.bfloat16)
+
+    state, start = auto_resume(ckpt, fresh_state)
+    assert start == 3
+    del params, fresh_state
+    gc.collect()
+    assert leak_probe() is None, (
+        "init params still alive after resume — a closure cell (or "
+        "auto_resume itself) is holding the tree")
+
+
 def test_torch_interop_helpers():
     sd = {"model.a.weight": np.ones(2), "model.b.weight": np.ones(2),
           "other": np.zeros(1)}
